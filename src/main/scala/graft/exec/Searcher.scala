@@ -1,0 +1,515 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Index, Posting, PostingCodec}
+import graft.query._
+
+/** Lucene BM25Similarity parity (SURVEY.md §4.3):
+  *   idf  = ln(1 + (docCount − df + 0.5) / (df + 0.5))   [field docCount, not maxDoc]
+  *   tfn  = tf / (tf + k1·(1 − b + b·dlq/avgdl))          [no (k1+1) numerator, Lucene ≥8]
+  *   dlq  = SmallFloat-quantized doc length stored in the posting block
+  *   dlq=0 ⇒ norms omitted (keyword fields) ⇒ denominator tf + k1.
+  * Boost multiplies; ties break on ascending docId (collector order).
+  */
+object Bm25 {
+  val k1 = 1.2
+  val b = 0.75
+
+  def idf(docCount: Long, docFreq: Long): Double =
+    math.log(1.0 + (docCount - docFreq + 0.5) / (docFreq + 0.5))
+
+  /** Codegen-friendly score column over decoded postings (tf, dlq). */
+  def scoreCol(tf: Column, dlq: Column, weight: Double, avgdl: Double): Column = {
+    val norm = when(dlq === 0, lit(k1))
+      .otherwise(lit(k1) * (lit(1.0 - b) + lit(b) * dlq.cast("double") / lit(avgdl)))
+    lit(weight) * tf.cast("double") / (tf.cast("double") + norm)
+  }
+
+  def score(tf: Double, dlq: Int, weight: Double, avgdl: Double): Double = {
+    val norm = if (dlq == 0) k1 else k1 * (1.0 - b + b * dlq / avgdl)
+    weight * tf / (tf + norm)
+  }
+}
+
+final case class SortSpec(field: String, descending: Boolean = false)
+
+/** One per-term positional posting row flowing into the phrase matcher
+  * (top-level: task closures must not capture the Searcher/Index).
+  */
+final case class PosRow(docId: Long, idx: Int, dlq: Int, positions: Array[Int])
+
+/** Query evaluation over an [[Index]]: every query node evaluates to a
+  * DataFrame of (docId, score) with one row per matching doc, composed with
+  * plain Catalyst operators (union + hash-aggregate for boolean algebra —
+  * one shuffle per boolean level, no cascaded joins; TakeOrderedAndProject
+  * for top-k). Mirrors the reference searcher surface
+  * (/root/reference/lupyne/engine/indexers.py:314-461).
+  */
+class Searcher(val index: Index) extends Serializable {
+  private val spark = index.spark
+  import spark.implicits._
+
+  val MaxExpandedTerms = 1024 // Lucene BooleanQuery.maxClauseCount default
+
+  // ---------------------------------------------------------------- postings
+
+  /** Decode posting blocks for one (field, term) → Dataset[Posting]. */
+  def postings(field: String, term: String, withPositions: Boolean = false): Dataset[Posting] = {
+    val wp = withPositions
+    index.blocks
+      .filter(col("field") === field && col("term") === term)
+      .flatMap(b => PostingCodec.decodeBlock(b, wp))
+  }
+
+  /** docFreq fast path: O(dictionary lookup), no postings scan
+    * (reference count 2-arg fast path, indexers.py:390-399).
+    */
+  def docFreq(field: String, term: String): Long = {
+    val rows = index.termDict
+      .filter(col("field") === field && col("term") === term)
+      .select("docFreq").collect()
+    if (rows.isEmpty) 0L else rows(0).getLong(0)
+  }
+
+  /** Collect (docFreq, totalTermFreq) for a small set of query terms. */
+  def termStats(field: String, terms: Seq[String]): Map[String, (Long, Long)] =
+    index.termDict
+      .filter(col("field") === field && col("term").isin(terms.distinct: _*))
+      .select("term", "docFreq", "totalTermFreq")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  private def emptyMatches: DataFrame =
+    spark.range(0).select(col("id").as("docId"), lit(0.0).as("score"))
+
+  // -------------------------------------------------------------- evaluation
+
+  /** Evaluate a query to (docId: Long, score: Double), one row per doc. */
+  def eval(q: Query): DataFrame = q match {
+    case Term(f, t) => evalTerm(f, t, 1.0)
+
+    case TermSet(f, ts) => // constant-score term-set (TermInSetQuery)
+      constantOverTerms(f, col("term").isin(ts.distinct: _*), 1.0, Some(ts.distinct))
+
+    case Bool(clauses) => evalBool(clauses)
+
+    case DisMax(tie, qs) =>
+      val parts = qs.map(eval)
+      if (parts.isEmpty) emptyMatches
+      else parts.reduce(_ unionAll _)
+        .groupBy("docId")
+        .agg(max("score").as("mx"), sum("score").as("sm"))
+        .select(col("docId"),
+          (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
+
+    case p: Phrase => evalPhrase(p)
+    case n: Near   => evalNear(n)
+
+    case Prefix(f, p) =>
+      constantOverTerms(f, col("term").startsWith(p), 1.0)
+    case TermRange(f, lo, hi, il, iu) =>
+      val conds = Seq(
+        lo.map(v => if (il) col("term") >= v else col("term") > v),
+        hi.map(v => if (iu) col("term") <= v else col("term") < v)
+      ).flatten
+      constantOverTerms(f, conds.reduceOption(_ && _).getOrElse(lit(true)), 1.0)
+    case Wildcard(f, pat) =>
+      constantOverTerms(f, col("term").rlike(wildcardToRegex(pat)), 1.0)
+    case Regexp(f, pat) =>
+      constantOverTerms(f, col("term").rlike("^(?:" + pat + ")$"), 1.0)
+    case Fuzzy(f, t, maxEdits) =>
+      // edit-distance expansion incl. the exact term (FuzzyQuery, constant score)
+      constantOverTerms(f,
+        levenshtein(col("term"), lit(t)) <= maxEdits && substring(col("term"), 1, 1) === t.take(1),
+        1.0)
+
+    case Points(f, vs) =>
+      index.docs.filter(col(f).cast("double").isin(vs: _*))
+        .select(col("docId"), lit(1.0).as("score"))
+    case NumRanges(f, intervals, il, iu) =>
+      val c = col(f).cast("double")
+      val cond = intervals.map { case (lo, hi) =>
+        val parts = Seq(
+          lo.map(v => if (il) c >= v else c > v),
+          hi.map(v => if (iu) c <= v else c < v)).flatten
+        parts.reduceOption(_ && _).getOrElse(lit(true))
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      index.docs.filter(cond).select(col("docId"), lit(1.0).as("score"))
+
+    case AllDocs => index.docs.select(col("docId"), lit(1.0).as("score"))
+    case NoDocs  => emptyMatches
+
+    case Boost(sub, v) => eval(sub).select(col("docId"), (col("score") * v).as("score"))
+    case Constant(sub) => eval(sub).select(col("docId"), lit(1.0).as("score"))
+  }
+
+  private def evalTerm(field: String, term: String, boost: Double): DataFrame = {
+    val st = index.fieldStats.getOrElse(field, return emptyMatches)
+    val df = docFreq(field, term)
+    if (df == 0) return emptyMatches
+    val w = boost * Bm25.idf(st.docCount, df)
+    postings(field, term).toDF()
+      .select(col("docId"), Bm25.scoreCol(col("tf"), col("dlq"), w, st.avgdl).as("score"))
+  }
+
+  /** Multi-term queries rewrite to a constant-score doc-set union
+    * (Lucene CONSTANT_SCORE rewrite; SURVEY.md §4.2). Small expansions are
+    * collected and pushed down as an `isin` scan filter; large ones stay
+    * distributed via a semi-join against the term dictionary.
+    */
+  private def constantOverTerms(field: String, termCond: Column, boost: Double,
+      knownTerms: Option[Seq[String]] = None): DataFrame = {
+    val matchedDocs: DataFrame = knownTerms match {
+      case Some(ts) =>
+        index.blocks.filter(col("field") === field && col("term").isin(ts: _*)).toDF()
+      case None =>
+        val termsDf = index.termDict
+          .filter(col("field") === field && col("term") =!= "" && termCond)
+          .select("term")
+        val small = termsDf.as[String].take(MaxExpandedTerms + 1)
+        if (small.length <= MaxExpandedTerms)
+          index.blocks.filter(col("field") === field &&
+            col("term").isin(small.toSeq: _*)).toDF()
+        else
+          index.blocks.filter(col("field") === field)
+            .join(broadcastIfSmall(termsDf), Seq("term"), "left_semi")
+    }
+    matchedDocs.as[graft.index.PostingBlock]
+      .flatMap(b => PostingCodec.decodeBlock(b, withPositions = false))
+      .select("docId").distinct()
+      .select(col("docId"), lit(boost).as("score"))
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  def wildcardToRegex(pat: String): String = {
+    val sb = new StringBuilder("^")
+    pat.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()<>+-=!$^|,".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** Boolean algebra in ONE hash-aggregate: tag each clause's matches with
+    * (score, isMust, isNot) and group by docId — no join cascade, map-side
+    * partial aggregation defuses hot-doc skew.
+    */
+  private def evalBool(clauses: Seq[(Occur.Value, Query)]): DataFrame = {
+    if (clauses.isEmpty) return emptyMatches
+    val numRequired = clauses.count(c => c._1 == Occur.Must || c._1 == Occur.Filter)
+    val parts = clauses.map { case (occur, sub) =>
+      val m = eval(sub)
+      occur match {
+        case Occur.Should  => m.select(col("docId"), col("score"), lit(0L).as("m"), lit(0L).as("n"))
+        case Occur.Must    => m.select(col("docId"), col("score"), lit(1L).as("m"), lit(0L).as("n"))
+        case Occur.Filter  => m.select(col("docId"), lit(0.0).as("score"), lit(1L).as("m"), lit(0L).as("n"))
+        case Occur.MustNot => m.select(col("docId"), lit(0.0).as("score"), lit(0L).as("m"), lit(1L).as("n"))
+      }
+    }
+    parts.reduce(_ unionAll _)
+      .groupBy("docId")
+      .agg(sum("score").as("score"), sum("m").as("m"), sum("n").as("n"))
+      .filter(col("m") === numRequired && col("n") === 0L)
+      .select("docId", "score")
+  }
+
+  // ------------------------------------------------------------ positional
+
+  private def evalPhrase(p: Phrase): DataFrame = {
+    // position placeholders (None) shift subsequent term offsets
+    val withOffsets = p.terms.zipWithIndex.collect { case (Some(t), i) => (t, i) }
+    if (withOffsets.isEmpty) return emptyMatches
+    // adjust: lists must be offset by term position; PhraseMatcher receives
+    // lists pre-shifted by -offset so an exact match is an equal value.
+    val field = p.field
+    val st = index.fieldStats.getOrElse(field, return emptyMatches)
+    val stats = termStats(field, withOffsets.map(_._1))
+    if (withOffsets.exists { case (t, _) => !stats.contains(t) }) return emptyMatches
+    val sumWeight = withOffsets.map { case (t, _) => Bm25.idf(st.docCount, stats(t)._1) }.sum
+    val n = withOffsets.length
+    val parts: Seq[Dataset[PosRow]] = withOffsets.zipWithIndex.map { case ((t, off), k) =>
+      postings(field, t, withPositions = true)
+        .map(pst => PosRow(pst.docId, k, pst.dlq, pst.positions.map(_ - off)))
+    }
+    val so = p.slop
+    val avgdl = st.avgdl
+    val matched = parts.reduce(_ unionAll _)
+      .groupByKey(_.docId)
+      .mapGroups { (docId, it) =>
+        val rows = it.toArray
+        if (rows.map(_.idx).distinct.length < n) (docId, 0.0, 0)
+        else {
+          val lists = PhraseMatcher.byIdx(rows, n)
+          (docId, PhraseMatcher.phraseFreq(lists, so), rows.head.dlq)
+        }
+      }
+      .filter(_._2 > 0.0)
+    matched.toDF("docId", "freq", "dlq")
+      .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), sumWeight, avgdl).as("score"))
+  }
+
+  private def evalNear(q: Near): DataFrame = {
+    val field = q.field
+    val st = index.fieldStats.getOrElse(field, return emptyMatches)
+    val stats = termStats(field, q.terms)
+    if (q.terms.exists(!stats.contains(_))) return emptyMatches
+    val sumWeight = q.terms.map(t => Bm25.idf(st.docCount, stats(t)._1)).sum
+    val n = q.terms.length
+    val parts: Seq[Dataset[PosRow]] = q.terms.zipWithIndex.map { case (t, k) =>
+      postings(field, t, withPositions = true).map(p => PosRow(p.docId, k, p.dlq, p.positions))
+    }
+    val so = q.slop
+    val io = q.inOrder
+    val avgdl = st.avgdl
+    val matched = parts.reduce(_ unionAll _)
+      .groupByKey(_.docId)
+      .mapGroups { (docId, it) =>
+        val rows = it.toArray
+        if (rows.map(_.idx).distinct.length < n) (docId, 0.0, 0)
+        else (docId, PhraseMatcher.nearFreq(PhraseMatcher.byIdx(rows, n), so, io), rows.head.dlq)
+      }
+      .filter(_._2 > 0.0)
+    matched.toDF("docId", "freq", "dlq")
+      .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), sumWeight, avgdl).as("score"))
+  }
+
+  // ----------------------------------------------------------------- search
+
+  /** Top-k search (reference IndexSearcher.search, indexers.py:401-432).
+    * Relevance: score desc, docId asc (Lucene collector order) →
+    * TakeOrderedAndProject. Field sort: join the tiny match set to docvalue
+    * columns. `k <= 0` retrieves all hits (count=None semantics).
+    */
+  def search(q: Query, k: Int = 10, sorts: Seq[SortSpec] = Nil,
+      select: Seq[String] = Nil): DataFrame = {
+    val m = eval(q)
+    val ordering: Seq[Column] =
+      if (sorts.isEmpty) Seq(col("score").desc, col("docId").asc)
+      else sorts.map(s => if (s.descending) col(s.field).desc else col(s.field).asc) :+ col("docId").asc
+    val sortFields = sorts.map(_.field)
+    val needed = (sortFields ++ select).distinct.filterNot(_ == "docId")
+    val joined =
+      if (needed.isEmpty) m
+      else m.join(index.docs.select((col("docId") +: needed.map(col(_))): _*), "docId")
+    val ranked = joined.orderBy(ordering: _*)
+    if (k > 0) ranked.limit(k) else ranked
+  }
+
+  def count(q: Query): Long = eval(q).count()
+
+  /** Per-field value→count of matching docs (facets, indexers.py:434-446). */
+  def facets(q: Query, field: String): DataFrame =
+    eval(q).join(index.docs.select("docId", field), "docId")
+      .groupBy(field).agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+
+  /** Named sub-query intersection counts (facets query_map variant). */
+  def facetQueries(q: Query, subs: Map[String, Query]): Map[String, Long] =
+    subs.map { case (name, sub) => name -> count(Query.all(q, sub)) }
+
+  /** Top groups by docvalue field with per-group top docs + counts
+    * (groupby, indexers.py:448-453): one shuffle for the window, group
+    * ordering by best score (Lucene GroupingSearch relevance default).
+    */
+  def groupBy(field: String, q: Query, groups: Int = 10, docsPerGroup: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = eval(q).join(index.docs.select("docId", field), "docId")
+    val w = Window.partitionBy(col(field)).orderBy(col("score").desc, col("docId").asc)
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("groupCount",
+        org.apache.spark.sql.functions.count(lit(1)).over(Window.partitionBy(col(field))))
+      .withColumn("groupMax", max(col("score")).over(Window.partitionBy(col(field))))
+      .filter(col("rn") <= docsPerGroup)
+    ranked.orderBy(col("groupMax").desc, col(field).asc, col("rn").asc)
+      .limit(groups * docsPerGroup)
+      .select(col(field), col("groupCount"), col("docId"), col("score"), col("rn"))
+  }
+
+  // --------------------------------------------------- dictionary/introspect
+
+  /** Ordered term-dictionary slice (reference IndexReader.terms,
+    * indexers.py:220-246): prefix scan, range scan, or fuzzy scan.
+    */
+  def terms(field: String, prefix: String = "", stop: String = null,
+      counts: Boolean = false, distance: Int = 0): DataFrame = {
+    var td = index.termDict.filter(col("field") === field && col("term") =!= "")
+    td =
+      if (distance > 0)
+        td.filter(levenshtein(col("term"), lit(prefix)) <= distance &&
+          substring(col("term"), 1, 1) === prefix.take(1))
+      else if (stop != null) td.filter(col("term") >= prefix && col("term") < stop)
+      else td.filter(col("term").startsWith(prefix))
+    val cols = if (counts) Seq(col("term"), col("docFreq")) else Seq(col("term"))
+    td.select(cols: _*).orderBy("term")
+  }
+
+  /** Quantized per-doc field lengths (norms sidecar: sentinel-term blocks). */
+  def docLengths(field: String): DataFrame =
+    postings(field, "").toDF().select(col("docId"), col("dlq"))
+
+  /** Autocomplete: top-k prefix terms by docFreq (indexers.py:162-165). */
+  def complete(field: String, prefix: String, k: Int = 10): DataFrame =
+    index.termDict
+      .filter(col("field") === field && col("term").startsWith(prefix) && col("term") =!= "")
+      .orderBy(col("docFreq").desc, col("term").asc)
+      .select("term", "docFreq").limit(k)
+
+  /** Spell suggestions: DirectSpellChecker-equivalent observable behavior
+    * (indexers.py:147-160): same first letter (minPrefix 1), edit distance
+    * ≤ maxEdits, ranked by distance then popularity.
+    */
+  def suggest(field: String, value: String, k: Int = 10, maxEdits: Int = 2): DataFrame =
+    index.termDict
+      .filter(col("field") === field && col("term") =!= "" && col("term") =!= value &&
+        substring(col("term"), 1, 1) === value.take(1) &&
+        levenshtein(col("term"), lit(value)) <= maxEdits)
+      .select(col("term"), col("docFreq"),
+        levenshtein(col("term"), lit(value)).as("dist"))
+      .orderBy(col("dist").asc, col("docFreq").desc, col("term").asc)
+      .limit(k)
+
+  /** More-like-this (indexers.py:299-311): rank the doc's terms by tf·idf,
+    * build an OR query from the top terms.
+    */
+  def morelikethis(docId: Long, field: String, minTermFreq: Int = 2, minDocFreq: Int = 5,
+      maxQueryTerms: Int = 25): Query = {
+    val row = index.docs.filter(col("docId") === docId).select(field).collect()
+    if (row.isEmpty || row(0).isNullAt(0)) return NoDocs
+    val analyzer = index.schema.analyzerFor(field)
+    val tf = analyzer.terms(row(0).getString(0)).groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= minTermFreq).toMap
+    if (tf.isEmpty) return NoDocs
+    val stats = termStats(field, tf.keys.toSeq)
+    val n = index.fieldStats(field).docCount
+    val scored = tf.toSeq.flatMap { case (t, f) =>
+      stats.get(t).filter(_._1 >= minDocFreq).map { case (df, _) =>
+        (t, f * math.log(n.toDouble / df)) // classic MLT tf·idf ranking
+      }
+    }.sortBy { case (t, s) => (-s, t) }.take(maxQueryTerms)
+    if (scored.isEmpty) NoDocs else Query.any(scored.map(ts => Term(field, ts._1)): _*)
+  }
+}
+
+/** Position-list matchers for phrase/near queries. Lists arrive sorted
+  * ascending (index order). For phrases the k-th list is pre-shifted by its
+  * phrase offset, so an exact phrase occurrence is a common value across all
+  * lists; slop allows bounded displacement with Lucene's sloppy weighting
+  * freq += 1/(1+matchLength).
+  */
+object PhraseMatcher {
+
+  /** Arrange per-term position lists by term index 0..n-1. */
+  def byIdx(rows: Array[PosRow], n: Int): Array[Array[Int]] = {
+    val m = rows.map(r => r.idx -> r.positions).toMap
+    (0 until n).map(m(_)).toArray
+  }
+
+  /** Exact/sloppy phrase frequency over offset-adjusted position lists. */
+  def phraseFreq(lists: Array[Array[Int]], slop: Int): Double =
+    if (slop == 0) exactCount(lists).toDouble else slidingFreq(lists, slop, base = 0)
+
+  /** Span-near frequency over raw position lists: slack = span length −
+    * #terms ≤ slop, optionally in order (SpanNearQuery semantics).
+    */
+  def nearFreq(lists: Array[Array[Int]], slop: Int, inOrder: Boolean): Double =
+    if (inOrder) orderedNearCount(lists, slop).toDouble
+    else slidingFreq(lists, slop, base = lists.length - 1)
+
+  /** Count values common to all lists (each sorted ascending). */
+  private def exactCount(lists: Array[Array[Int]]): Int = {
+    val n = lists.length
+    val ptr = new Array[Int](n)
+    var count = 0
+    var done = false
+    while (!done) {
+      var target = Int.MinValue
+      var i = 0
+      while (i < n && !done) {
+        if (ptr(i) >= lists(i).length) done = true
+        else if (lists(i)(ptr(i)) > target) target = lists(i)(ptr(i))
+        i += 1
+      }
+      if (!done) {
+        var equal = true
+        var j = 0
+        while (j < n && !done) {
+          while (ptr(j) < lists(j).length && lists(j)(ptr(j)) < target) ptr(j) += 1
+          if (ptr(j) >= lists(j).length) done = true
+          else if (lists(j)(ptr(j)) != target) equal = false
+          j += 1
+        }
+        if (!done && equal) {
+          count += 1
+          var k = 0
+          while (k < n) { ptr(k) += 1; k += 1 }
+        }
+      }
+    }
+    count
+  }
+
+  /** Greedy minimal-window sloppy matcher: repeatedly evaluate the current
+    * window over one position per list; when window ≤ slop, emit a match
+    * weighted 1/(1+window) and advance all pointers past it; otherwise
+    * advance the minimum. Matches Lucene's sloppy scorer on the reference's
+    * pinned cases (non-overlapping greedy matching).
+    */
+  private def slidingFreq(lists: Array[Array[Int]], slop: Int, base: Int): Double = {
+    val n = lists.length
+    val ptr = new Array[Int](n)
+    var freq = 0.0
+    while (ptr.indices.forall(i => ptr(i) < lists(i).length)) {
+      var mn = Int.MaxValue; var mx = Int.MinValue; var mnIdx = 0
+      var i = 0
+      while (i < n) {
+        val v = lists(i)(ptr(i))
+        if (v < mn) { mn = v; mnIdx = i }
+        if (v > mx) mx = v
+        i += 1
+      }
+      val window = mx - mn - base
+      if (window <= slop) {
+        freq += 1.0 / (1 + math.max(0, window))
+        var k = 0
+        while (k < n) { ptr(k) += 1; k += 1 }
+      } else {
+        ptr(mnIdx) += 1
+      }
+    }
+    freq
+  }
+
+  /** Ordered near: greedy scan requiring strictly increasing positions with
+    * total slack ≤ slop (SpanNearQuery inOrder=true semantics).
+    */
+  private def orderedNearCount(lists: Array[Array[Int]], slop: Int): Int = {
+    val n = lists.length
+    var count = 0
+    var startPtr = 0
+    val first = lists(0)
+    var s = 0
+    while (s < first.length) {
+      val p0 = first(s)
+      // greedily find smallest increasing chain from p0
+      var prev = p0
+      var ok = true
+      var i = 1
+      while (i < n && ok) {
+        val l = lists(i)
+        var j = 0
+        while (j < l.length && l(j) <= prev) j += 1
+        if (j >= l.length) ok = false else prev = l(j)
+        i += 1
+      }
+      if (ok && (prev - p0 + 1) - n <= slop) count += 1
+      s += 1
+    }
+    count
+  }
+}

@@ -1,0 +1,270 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.analysis.{Analyzer, Analyzers}
+import graft.util.SmallFloat
+
+/** Per-field index configuration, mirroring the reference's writer-registered
+  * field registry (`IndexWriter.set`, /root/reference/lupyne/engine/indexers.py:538-547;
+  * field kinds from /root/reference/lupyne/engine/documents.py:21-124).
+  */
+sealed trait FieldKind extends Serializable
+/** Analyzed full-text field (Field.Text: DOCS_AND_FREQS[_AND_POSITIONS]). */
+final case class TextField(analyzer: String = "standard", positions: Boolean = true) extends FieldKind
+/** Exact, untokenized keyword (Field.String, indexOptions=DOCS, omitNorms). */
+case object KeywordField extends FieldKind
+
+/** Index schema: which columns are indexed and how, plus the stable key that
+  * defines deterministic docId order (dense rank over `keyColumns` — the
+  * tie-break contract of SURVEY.md §4.3). Non-indexed source columns ride
+  * along in the doc store as docvalues (Parquet is already columnar).
+  */
+final case class IndexSchema(keyColumns: Seq[String], fields: Map[String, FieldKind]) {
+  def analyzerFor(f: String): Analyzer = fields(f) match {
+    case TextField(a, _) => Analyzers.byName(a)
+    case KeywordField    => Analyzers.whitespace // unused; keywords bypass analysis
+  }
+}
+
+/** Collected corpus statistics for one field (Lucene CollectionStatistics):
+  * `docCount` = docs holding the field, `sumTotalTermFreq` = total tokens.
+  * `avgdl` is exact (not quantized), per BM25Similarity.
+  */
+final case class FieldStats(docCount: Long, sumTotalTermFreq: Long) {
+  def avgdl: Double = if (docCount == 0) 0.0 else sumTotalTermFreq.toDouble / docCount
+}
+
+/** Deterministic dense docId assignment at scale: range-partition by the key,
+  * local sort, per-partition counts → driver prefix-sum → local row_number +
+  * broadcast offset. No global single-partition window, no RDD zipWithIndex;
+  * two shuffles total and every stage is fully parallel. docIds are invariant
+  * to the number of partitions (only the global key order matters).
+  */
+object DocIds {
+  def assign(df: DataFrame, keyColumns: Seq[String], numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = keyColumns.map(col)
+    val ranged = df
+      .repartitionByRange(numPartitions, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy($"__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offsetsDf = spark.createDataset(offsets.toSeq).toDF("__pid", "__offset")
+    val w = Window.partitionBy($"__pid").orderBy(keys: _*)
+    ranged
+      .join(broadcast(offsetsDf), "__pid")
+      .withColumn("docId", row_number().over(w).cast("long") + $"__offset" - 1L)
+      .drop("__pid", "__offset")
+  }
+}
+
+/** The materialized index: compressed posting blocks + derived term
+  * dictionary + the doc store (source rows + docId + content sha256).
+  *
+  * Table shapes follow SURVEY.md §1.5. The sentinel term "" carries one
+  * entry per (doc, field) with tf=0 and the quantized field length — it gives
+  * docCount/norms without a second tokenize pass and is excluded from real
+  * posting reads.
+  */
+final class Index(
+    val spark: SparkSession,
+    val schema: IndexSchema,
+    val docs: DataFrame, // source columns + docId + __sha256_<textField>
+    val blocks: Dataset[PostingBlock],
+    val termDict: DataFrame, // (field, term, docFreq, totalTermFreq)
+    val fieldStats: Map[String, FieldStats]
+) {
+  def numDocs: Long = docs.count()
+
+  /** Pin the working set in memory for repeated queries (small/medium scale;
+    * at cluster scale rely on the parquet layout instead).
+    */
+  def cached(): Index = {
+    docs.cache(); blocks.cache(); termDict.cache()
+    this
+  }
+
+  def save(dir: String): Unit = {
+    // Range-layout postings by (field, term) so per-term query filters prune
+    // whole files via parquet min/max stats; docs by docId for id lookups.
+    blocks.repartitionByRange(blocks.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("field"), col("term"), col("firstDocId"))
+      .sortWithinPartitions("field", "term", "firstDocId")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    docs.repartitionByRange(col("docId")).sortWithinPartitions("docId")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    termDict.repartitionByRange(col("field"), col("term"))
+      .sortWithinPartitions("field", "term")
+      .write.mode("overwrite").parquet(s"$dir/termdict")
+    val manifest = IndexManifest(schema, fieldStats)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/manifest"), manifest.serialize)
+  }
+}
+
+/** Tiny line-oriented manifest (no JSON dependency): schema + field stats. */
+final case class IndexManifest(schema: IndexSchema, fieldStats: Map[String, FieldStats]) {
+  def serialize: String = {
+    val sb = new StringBuilder
+    sb.append("keys\t").append(schema.keyColumns.mkString(",")).append('\n')
+    schema.fields.toSeq.sortBy(_._1).foreach {
+      case (n, TextField(a, p)) => sb.append(s"field\t$n\ttext\t$a\t$p\n")
+      case (n, KeywordField)    => sb.append(s"field\t$n\tkeyword\t-\t-\n")
+    }
+    fieldStats.toSeq.sortBy(_._1).foreach { case (n, s) =>
+      sb.append(s"stats\t$n\t${s.docCount}\t${s.sumTotalTermFreq}\n")
+    }
+    sb.toString
+  }
+}
+
+object IndexManifest {
+  def parse(text: String): IndexManifest = {
+    var keys = Seq.empty[String]
+    val fields = Map.newBuilder[String, FieldKind]
+    val stats = Map.newBuilder[String, FieldStats]
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array("keys", ks)                  => keys = ks.split(',').toSeq
+        case Array("field", n, "text", a, p)    => fields += n -> TextField(a, p.toBoolean)
+        case Array("field", n, "keyword", _, _) => fields += n -> KeywordField
+        case Array("stats", n, dc, sttf)        => stats += n -> FieldStats(dc.toLong, sttf.toLong)
+        case other => throw new IllegalArgumentException(s"bad manifest line: $line")
+      }
+    }
+    IndexManifest(IndexSchema(keys, fields.result()), stats.result())
+  }
+}
+
+object IndexBuilder {
+
+  /** One (field, term, doc) occurrence row — the unit that shuffles. */
+  final case class TermDoc(field: String, term: String, docId: Long, freq: Int, dlq: Int,
+      positions: Array[Int])
+
+  /** Docs-per-salt-bucket shift: posting blocks never span a bucket, so a hot
+    * term's postings build in parallel across `numDocs / 2^shift` tasks with
+    * NO second merge pass (blocks are independent 128-doc units; 2^13 = 64
+    * aligned blocks per bucket). This is the skew defense the north_rule
+    * requires for terms like `the`/`import`/`return`.
+    */
+  val SaltShift = 13
+
+  /** Build an index from a source DataFrame. One tokenize pass; one shuffle
+    * for postings; termDict and stats derive from the compressed blocks.
+    */
+  def build(source: DataFrame, schema: IndexSchema, numPartitions: Int = 0): Index = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // Doc store: deterministic docId + content sha256 invariant stamp.
+    var docs = DocIds.assign(source, schema.keyColumns, parts)
+    val textFields = schema.fields.collect { case (n, t: TextField) => (n, t) }.toSeq.sortBy(_._1)
+    textFields.foreach { case (n, _) =>
+      docs = docs.withColumn(s"__sha256_$n", sha2(col(n).cast(StringType), 256))
+    }
+
+    // Tokenize once; emit TermDoc rows + one sentinel ("" term) per doc-field.
+    val fieldPlans: Seq[(String, FieldKind, Analyzer, Boolean)] = schema.fields.toSeq.sortBy(_._1).map {
+      case (n, t @ TextField(a, p)) => (n, t, Analyzers.byName(a), p)
+      case (n, KeywordField)        => (n, KeywordField, null, false)
+    }
+    val indexedCols = fieldPlans.map(_._1)
+    val arrayKeyword: Set[String] = indexedCols.filter { c =>
+      source.schema(c).dataType.isInstanceOf[ArrayType]
+    }.toSet
+    val inputCols = col("docId") +: indexedCols.map(c => col(c))
+
+    val tokens: Dataset[TermDoc] = docs.select(inputCols: _*).flatMap { row =>
+      val docId = row.getLong(0)
+      fieldPlans.iterator.zipWithIndex.flatMap { case ((name, kind, analyzer, withPos), i) =>
+        val ci = i + 1
+        if (row.isNullAt(ci)) Iterator.empty
+        else kind match {
+          case _: TextField =>
+            val text = row.getString(ci)
+            val toks = analyzer.tokens(text)
+            val dlq = SmallFloat.quantizeLength(toks.length)
+            val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+            toks.foreach { t =>
+              byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+            }
+            val sentinel = TermDoc(name, "", docId, 0, dlq, null)
+            Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ps) =>
+              TermDoc(name, term, docId, ps.length, dlq, if (withPos) ps.toArray else null)
+            }
+          case KeywordField =>
+            val values: Seq[String] =
+              if (arrayKeyword(name)) row.getSeq[String](ci) else Seq(row.getString(ci))
+            // omitNorms semantics: dlq=0 → BM25 uses K = k1 (norm-free).
+            val sentinel = TermDoc(name, "", docId, 0, 0, null)
+            Iterator.single(sentinel) ++ values.distinct.iterator.map { v =>
+              TermDoc(name, v, docId, values.count(_ == v), 0, null)
+            }
+        }
+      }
+    }
+
+    // Salted, block-aligned postings build: one shuffle, streaming encoder,
+    // memory bounded by one 128-posting block.
+    val blocks: Dataset[PostingBlock] = tokens
+      .repartition(parts, col("field"), col("term"), shiftrightunsigned(col("docId"), SaltShift))
+      .sortWithinPartitions("field", "term", "docId")
+      .mapPartitions(rows => blockify(rows))
+
+    val termDict = blocks.filter($"term" =!= "")
+      .groupBy($"field", $"term")
+      .agg(sum($"numDocs").as("docFreq"), sum($"sumTf").as("totalTermFreq"))
+
+    val statsRows = blocks.groupBy($"field").agg(
+      sum(when($"term" === "", $"numDocs").otherwise(0L)).as("docCount"),
+      sum(when($"term" =!= "", $"sumTf").otherwise(0L)).as("sumTotalTermFreq")
+    ).collect()
+    val fieldStats = statsRows.map { r =>
+      r.getString(0) -> FieldStats(r.getLong(1), r.getLong(2))
+    }.toMap
+
+    new Index(spark, schema, docs, blocks, termDict, fieldStats)
+  }
+
+  /** Group a (field, term, docId)-sorted iterator into encoded blocks. */
+  def blockify(rows: Iterator[TermDoc]): Iterator[PostingBlock] =
+    new scala.collection.AbstractIterator[PostingBlock] {
+      private var cur: TermDoc = if (rows.hasNext) rows.next() else null
+      override def hasNext: Boolean = cur != null
+      override def next(): PostingBlock = {
+        val f = cur.field
+        val t = cur.term
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Posting]
+        while (cur != null && buf.length < PostingCodec.BlockSize &&
+            cur.field == f && cur.term == t) {
+          buf += Posting(cur.docId, cur.freq, cur.dlq, cur.positions)
+          cur = if (rows.hasNext) rows.next() else null
+        }
+        PostingCodec.encodeBlock(f, t, buf.toSeq)
+      }
+    }
+
+  def load(spark: SparkSession, dir: String): Index = {
+    import spark.implicits._
+    val manifest = IndexManifest.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/manifest")))
+    new Index(
+      spark,
+      manifest.schema,
+      spark.read.parquet(s"$dir/docs"),
+      spark.read.parquet(s"$dir/postings").as[PostingBlock],
+      spark.read.parquet(s"$dir/termdict"),
+      manifest.fieldStats
+    )
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{Posting, PostingCodec, VByte}
+import graft.util.SmallFloat
+
+/** Property-style roundtrip tests with a fixed seed (no external generators:
+  * the offline cache has no scalatest↔scalacheck bridge).
+  */
+class CodecSpec extends AnyFunSuite {
+  private def rnd = new scala.util.Random(42)
+
+  test("vbyte roundtrip: longs") {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    val vals = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, Int.MaxValue.toLong, Long.MaxValue)
+    vals.foreach(VByte.writeLong(_, buf))
+    val r = new VByte.Reader(buf.toArray)
+    vals.foreach(v => assert(r.readLong() === v))
+    assert(!r.hasNext)
+  }
+
+  test("vbyte roundtrip: random ints") {
+    val g = rnd
+    (1 to 200).foreach { _ =>
+      val arr = Array.fill(g.nextInt(500))(g.nextInt(Int.MaxValue))
+      assert(VByte.decodeInts(VByte.encodeInts(arr), arr.length).toSeq === arr.toSeq)
+    }
+  }
+
+  test("smallfloat: exact below 8, monotone, top-4-bit lossy above") {
+    (0 until 8).foreach(i => assert(SmallFloat.quantizeLength(i) === i))
+    assert(SmallFloat.quantizeLength(8) === 8)
+    assert(SmallFloat.quantizeLength(15) === 15)
+    assert(SmallFloat.quantizeLength(16) === 16)
+    assert(SmallFloat.quantizeLength(17) === 16)
+    assert(SmallFloat.quantizeLength(100) === 96) // 0b1100100 -> 0b1100000
+    assert(SmallFloat.quantizeLength(255) === 240)
+    // closed form the SQL oracle uses
+    def sqlForm(len: Int): Int =
+      if (len < 8) len
+      else {
+        val numBits = 32 - Integer.numberOfLeadingZeros(len)
+        (len >> (numBits - 4)) << (numBits - 4)
+      }
+    val g = rnd
+    var prev = -1
+    (0 to 100000).foreach { i =>
+      val q = SmallFloat.quantizeLength(i)
+      assert(q === sqlForm(i))
+      assert(q <= i && q >= prev) // lossy-down and monotone
+      prev = q
+    }
+    (1 to 1000).foreach { _ =>
+      val i = g.nextInt(Int.MaxValue)
+      assert(SmallFloat.quantizeLength(i) === sqlForm(i))
+    }
+  }
+
+  private def randomPostings(g: scala.util.Random): List[Posting] = {
+    val n = 1 + g.nextInt(300)
+    var doc = 0L
+    List.fill(n) {
+      doc += 1 + g.nextInt(1000)
+      val tf = 1 + g.nextInt(50)
+      val positions = {
+        var p = g.nextInt(5)
+        Array.fill(tf) { p += 1 + g.nextInt(7); p }
+      }
+      Posting(doc, tf, SmallFloat.quantizeLength(tf * 4), positions)
+    }
+  }
+
+  test("posting block roundtrip with positions + block-max metadata") {
+    val g = rnd
+    (1 to 50).foreach { _ =>
+      val ps = randomPostings(g)
+      val blocks = PostingCodec.encodeRun("text", "t", ps.iterator).toList
+      assert(blocks.map(_.numDocs).sum === ps.length)
+      assert(blocks.forall(_.numDocs <= PostingCodec.BlockSize))
+      val decoded = blocks.flatMap(b => PostingCodec.decodeBlock(b, withPositions = true))
+      assert(decoded.map(_.docId) === ps.map(_.docId))
+      assert(decoded.map(_.tf) === ps.map(_.tf))
+      assert(decoded.map(_.dlq) === ps.map(_.dlq))
+      decoded.zip(ps).foreach { case (d, p) => assert(d.positions.toSeq === p.positions.toSeq) }
+      blocks.foreach { b =>
+        val in = ps.filter(p => p.docId >= b.firstDocId && p.docId <= b.lastDocId)
+        assert(b.numDocs === in.length) // skip pointers bracket exactly
+        assert(b.maxTf === in.map(_.tf).max)
+        assert(b.sumTf === in.map(_.tf.toLong).sum)
+        assert(b.minDlq === in.map(_.dlq).min)
+      }
+    }
+  }
+
+  test("posting block decode without positions") {
+    val ps = Seq(Posting(1, 2, 8, Array(1, 5)), Posting(9, 1, 4, Array(0)))
+    val b = PostingCodec.encodeBlock("text", "x", ps)
+    val d = PostingCodec.decodeBlock(b, withPositions = false)
+    assert(d.map(_.docId).toSeq === Seq(1L, 9L))
+    assert(d.forall(_.positions == null))
+  }
+
+  test("null positions encode as empty blob (positions disabled)") {
+    val ps = Seq(Posting(1, 2, 8, null), Posting(9, 1, 4, null))
+    val b = PostingCodec.encodeBlock("text", "x", ps)
+    assert(b.positionsBlob.isEmpty)
+    val d = PostingCodec.decodeBlock(b, withPositions = true)
+    assert(d.map(_.tf).toSeq === Seq(2, 1))
+    assert(d.forall(_.positions == null))
+  }
+
+  test("analyzers: standard, whitespace, code") {
+    import graft.analysis.Analyzers
+    assert(Analyzers.standard.terms("Hello, World! don't U.S.C. x_1").toSeq ===
+      Seq("hello", "world", "don't", "u.s.c", "x_1"))
+    assert(Analyzers.whitespace.terms("Hello,  World!").toSeq === Seq("Hello,", "World!"))
+    assert(Analyzers.code.terms("parseHTTPResponse snake_case fooBar x9y").toSeq ===
+      Seq("parse", "HTTPResponse".toLowerCase, "snake", "case", "foo", "bar", "x9y"))
+    val toks = Analyzers.standard.tokens("a b a")
+    assert(toks.map(t => (t.term, t.pos)) === Seq(("a", 0), ("b", 1), ("a", 2)))
+    assert(toks.map(t => (t.startOffset, t.endOffset)) === Seq((0, 1), (2, 3), (4, 5)))
+  }
+}
