@@ -108,7 +108,8 @@ object SparkEntry {
     }),
     "q_suggest" -> ((sp, dir) => {
       searcher(sp, dir).suggest("content", "joon", 10)
-        .select(col("term"), col("docFreq").as("docfreq"), col("dist").cast("long").as("dist"))
+        .select(col("term"), col("docFreq").as("docfreq"), col("dist").cast("long").as("dist"),
+          floor(col("sim") * 10000d + 0.5d).cast("long").as("sim_q"))
     }),
     "q_doclengths" -> ((sp, dir) => {
       searcher(sp, dir).docLengths("content")
@@ -142,7 +143,7 @@ object SparkEntry {
       |), dl AS (
       |  SELECT c.docid, count(t.term) AS dl FROM corpus c LEFT JOIN tokp t USING (docid) GROUP BY 1
       |), dlq AS (
-      |  SELECT docid, CASE WHEN dl < 8 THEN dl ELSE (dl >> (length(bin(dl)) - 4)) << (length(bin(dl)) - 4) END AS dlq FROM dl
+      |  SELECT docid, CASE WHEN dl < 16 THEN dl ELSE (dl >> (length(bin(dl)) - 5)) << (length(bin(dl)) - 5) END AS dlq FROM dl
       |), stats AS (
       |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
       |)""".stripMargin
@@ -216,9 +217,14 @@ object SparkEntry {
     "q_prefix_docs" ->
       s"""$prelude SELECT DISTINCT docid FROM tf WHERE term LIKE 'jo%' ORDER BY docid LIMIT 20""",
     "q_suggest" ->
-      s"""$prelude SELECT term, count(*) AS docfreq, levenshtein(term, 'joon') AS dist
-         |FROM tf WHERE term <> 'joon' AND substring(term, 1, 1) = 'j' AND levenshtein(term, 'joon') <= 2
-         |GROUP BY 1 ORDER BY dist ASC, docfreq DESC, term ASC LIMIT 10""".stripMargin,
+      s"""$prelude, cand AS (
+         |  SELECT term, count(*) AS docfreq, levenshtein(term, 'joon') AS dist,
+         |         1.0 - levenshtein(term, 'joon')::DOUBLE / least(length(term), 4)::DOUBLE AS sim
+         |  FROM tf WHERE term <> 'joon' AND substring(term, 1, 1) = 'j' AND levenshtein(term, 'joon') <= 2
+         |  GROUP BY 1
+         |)
+         |SELECT term, docfreq, dist, CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS sim_q
+         |FROM cand ORDER BY sim DESC, docfreq DESC, term ASC LIMIT 10""".stripMargin,
     "q_doclengths" ->
       s"""$prelude SELECT docid, dlq FROM dlq""",
     "q_dedup_exact" ->

@@ -121,10 +121,9 @@ class Searcher(val index: Index) extends Serializable {
     case Regexp(f, pat) =>
       constantOverTerms(f, col("term").rlike("^(?:" + pat + ")$"), 1.0)
     case Fuzzy(f, t, maxEdits) =>
-      // edit-distance expansion incl. the exact term (FuzzyQuery, constant score)
-      constantOverTerms(f,
-        levenshtein(col("term"), lit(t)) <= maxEdits && substring(col("term"), 1, 1) === t.take(1),
-        1.0)
+      // edit-distance expansion incl. the exact term (FuzzyQuery semantics:
+      // prefixLength=0, constant score)
+      constantOverTerms(f, levenshtein(col("term"), lit(t)) <= maxEdits, 1.0)
 
     case Points(f, vs) =>
       index.docs.filter(col(f).cast("double").isin(vs: _*))
@@ -341,8 +340,7 @@ class Searcher(val index: Index) extends Serializable {
     var td = index.termDict.filter(col("field") === field && col("term") =!= "")
     td =
       if (distance > 0)
-        td.filter(levenshtein(col("term"), lit(prefix)) <= distance &&
-          substring(col("term"), 1, 1) === prefix.take(1))
+        td.filter(levenshtein(col("term"), lit(prefix)) <= distance)
       else if (stop != null) td.filter(col("term") >= prefix && col("term") < stop)
       else td.filter(col("term").startsWith(prefix))
     val cols = if (counts) Seq(col("term"), col("docFreq")) else Seq(col("term"))
@@ -362,17 +360,65 @@ class Searcher(val index: Index) extends Serializable {
 
   /** Spell suggestions: DirectSpellChecker-equivalent observable behavior
     * (indexers.py:147-160): same first letter (minPrefix 1), edit distance
-    * ≤ maxEdits, ranked by distance then popularity.
+    * ≤ maxEdits, ranked by normalized similarity
+    * (1 − dist/min(|query|,|term|)) then popularity — pins the reference's
+    * `suggest("text","write") == [writs, writ, written]` ordering.
     */
-  def suggest(field: String, value: String, k: Int = 10, maxEdits: Int = 2): DataFrame =
+  def suggest(field: String, value: String, k: Int = 10, maxEdits: Int = 2): DataFrame = {
+    val dist = levenshtein(col("term"), lit(value))
+    val sim = lit(1.0) - dist.cast("double") /
+      least(length(col("term")), lit(value.length)).cast("double")
     index.termDict
       .filter(col("field") === field && col("term") =!= "" && col("term") =!= value &&
-        substring(col("term"), 1, 1) === value.take(1) &&
-        levenshtein(col("term"), lit(value)) <= maxEdits)
-      .select(col("term"), col("docFreq"),
-        levenshtein(col("term"), lit(value)).as("dist"))
-      .orderBy(col("dist").asc, col("docFreq").desc, col("term").asc)
+        substring(col("term"), 1, 1) === value.take(1) && dist <= maxEdits)
+      .select(col("term"), col("docFreq"), dist.as("dist"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("docFreq").desc, col("term").asc)
       .limit(k)
+  }
+
+  /** Highlight stored-field text against a query (UDF-friendly). */
+  def highlight(q: Query, field: String, text: String, maxPassages: Int = 1): String =
+    Highlighter.highlight(index.schema.analyzerFor(field), Highlighter.queryTerms(q, field),
+      text, maxPassages)
+
+  /** Column form for batch-highlighting materialized hits
+    * (Hits.highlights, documents.py:391-402).
+    */
+  def highlightCol(q: Query, field: String, maxPassages: Int = 1): Column = {
+    val analyzer = index.schema.analyzerFor(field)
+    val terms = Highlighter.queryTerms(q, field)
+    val mp = maxPassages
+    udf((text: String) =>
+      if (text == null) null else Highlighter.highlight(analyzer, terms, text, mp))
+      .apply(col(field))
+  }
+
+  /** Parse a classic query string against a default field; with
+    * `spellcheck=true`, unknown terms are rewritten to their top suggestion
+    * (SpellParser, /root/reference/lupyne/engine/queries.py:285-312 —
+    * fallback to the original term when no suggestion exists, pinned at
+    * tests/test_engine.py:225-229).
+    */
+  def parse(q: String, field: String, op: String = "or", spellcheck: Boolean = false): Query = {
+    val parsed = new QueryParser(field, index.schema.analyzerFor(field), op).parse(q)
+    if (spellcheck) respell(parsed) else parsed
+  }
+
+  private def respell(q: Query): Query = q match {
+    case Term(f, t) if docFreq(f, t) == 0 =>
+      suggest(f, t, 1).collect().headOption.map(r => Term(f, r.getString(0))).getOrElse(q)
+    case Phrase(f, terms, slop) =>
+      Phrase(f, terms.map {
+        case Some(t) if docFreq(f, t) == 0 =>
+          Some(suggest(f, t, 1).collect().headOption.map(_.getString(0)).getOrElse(t))
+        case other => other
+      }, slop)
+    case Bool(cs)       => Bool(cs.map { case (o, sub) => (o, respell(sub)) })
+    case DisMax(t, ds)  => DisMax(t, ds.map(respell))
+    case Boost(sub, b)  => Boost(respell(sub), b)
+    case Constant(sub)  => Constant(respell(sub))
+    case other          => other
+  }
 
   /** More-like-this (indexers.py:299-311): rank the doc's terms by tf·idf,
     * build an OR query from the top terms.

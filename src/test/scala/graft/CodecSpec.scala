@@ -28,20 +28,20 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("smallfloat: exact below 8, monotone, top-4-bit lossy above") {
-    (0 until 8).foreach(i => assert(SmallFloat.quantizeLength(i) === i))
-    assert(SmallFloat.quantizeLength(8) === 8)
-    assert(SmallFloat.quantizeLength(15) === 15)
-    assert(SmallFloat.quantizeLength(16) === 16)
-    assert(SmallFloat.quantizeLength(17) === 16)
-    assert(SmallFloat.quantizeLength(100) === 96) // 0b1100100 -> 0b1100000
-    assert(SmallFloat.quantizeLength(255) === 240)
+  test("smallfloat: exact below 32, monotone, top-5-bit lossy above") {
+    (0 until 32).foreach(i => assert(SmallFloat.quantizeLength(i) === i))
+    assert(SmallFloat.quantizeLength(33) === 32)
+    assert(SmallFloat.quantizeLength(50) === 50) // 0b110010: 5 significant bits — the BM25 anchor
+    assert(SmallFloat.quantizeLength(51) === 50)
+    assert(SmallFloat.quantizeLength(100) === 100) // 0b1100100 -> exact (low bits 0)
+    assert(SmallFloat.quantizeLength(101) === 100)
+    assert(SmallFloat.quantizeLength(255) === 248)
     // closed form the SQL oracle uses
     def sqlForm(len: Int): Int =
-      if (len < 8) len
+      if (len < 16) len
       else {
         val numBits = 32 - Integer.numberOfLeadingZeros(len)
-        (len >> (numBits - 4)) << (numBits - 4)
+        (len >> (numBits - 5)) << (numBits - 5)
       }
     val g = rnd
     var prev = -1
@@ -52,9 +52,11 @@ class CodecSpec extends AnyFunSuite {
       prev = q
     }
     (1 to 1000).foreach { _ =>
-      val i = g.nextInt(Int.MaxValue)
+      val i = g.nextInt(SmallFloat.MaxValue)
       assert(SmallFloat.quantizeLength(i) === sqlForm(i))
     }
+    // saturation above the byte-encodable max
+    assert(SmallFloat.quantizeLength(SmallFloat.MaxValue + 12345) === SmallFloat.MaxValue)
   }
 
   private def randomPostings(g: scala.util.Random): List[Posting] = {
