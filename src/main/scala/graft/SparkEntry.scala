@@ -40,6 +40,9 @@ object SparkEntry {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Drop memoized searchers (benchmarks recreate SparkSessions). */
+  def clearCache(): Unit = cache.clear()
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     cache.getOrElseUpdate(sfDir, {
       val idx = IndexBuilder.build(corpus(spark, sfDir), schema).cached()
@@ -120,6 +123,66 @@ object SparkEntry {
       s.index.docs.agg(
         org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
         countDistinct(col("__sha256_content")).as("n_distinct"))
+    }),
+
+    // ---- training-data pipeline ops (graft.ops) -------------------------
+    "q_token_stats" -> ((sp, dir) => {
+      searcher(sp, dir).index.docs
+        .select(col("docId").as("docid"),
+          graft.ops.TextOps.tokenCount(col("content")).cast("long").as("n_tokens"))
+    }),
+    "q_langid" -> ((sp, dir) => {
+      searcher(sp, dir).index.docs
+        .select(col("docId").as("docid"),
+          graft.ops.TextOps.languageId(col("content")).as("lang_pred"))
+    }),
+    "q_quality" -> ((sp, dir) => {
+      val q = graft.ops.TextOps.quality(col("content"))
+      searcher(sp, dir).index.docs.select(col("docId").as("docid"),
+        q.getField("n_tokens").cast("long").as("n_tokens"),
+        qz(q.getField("stopword_ratio")).as("stop_q"),
+        qz(q.getField("mean_token_len")).as("meanlen_q"),
+        qz(q.getField("alpha_ratio")).as("alpha_q"))
+    }),
+    "q_fingerprint" -> ((sp, dir) => {
+      searcher(sp, dir).index.docs
+        .select(col("docId").as("docid"),
+          graft.ops.TextOps.fingerprint(col("content"), n = 3, k = 4).as("fp"))
+    }),
+    "q_simhash" -> ((sp, dir) => {
+      searcher(sp, dir).index.docs
+        .select(col("docId").as("docid"),
+          graft.ops.Dedup.simhash(graft.ops.TextOps.tokens(col("content")), 16).as("simhash"))
+    }),
+    "q_dedup_minhash" -> ((sp, dir) => {
+      // plant duplicates (doc_id < 20 re-appended shifted by 10000) so the
+      // LSH pipeline has non-trivial positives; mirrored in the oracle
+      val docs = sp.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val sh = planted.select(col("doc_id"),
+        graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
+        .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
+      val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4)
+      graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
+        .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
+        .filter(col("jacc_q") >= 5000)
+    }),
+    "q_ann_topk" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      graft.ops.Ann.topkBrute(emb, "vec_id", "embedding", qv, 10)
+        .select(col("vec_id"), qz(col("cos")).as("cos_q"))
+    }),
+    "q_ann_lsh" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val vecs = emb.filter(col("vec_id").isin(0, 1, 2, 3)).select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      graft.ops.Ann.topkLsh(emb, "vec_id", "embedding", vecs(0L),
+          Seq(vecs(1L), vecs(2L), vecs(3L)), 10)
+        .select(col("vec_id"), qz(col("cos")).as("cos_q"))
     })
   )
 
@@ -228,6 +291,126 @@ object SparkEntry {
     "q_doclengths" ->
       s"""$prelude SELECT docid, dlq FROM dlq""",
     "q_dedup_exact" ->
-      "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents"
+      "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents",
+
+    // ---- training-data pipeline ops -------------------------------------
+    "q_token_stats" ->
+      s"""$prelude SELECT docid, dl AS n_tokens FROM dl""",
+    "q_langid" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(toks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
+      val Seq(en, de, fr, es) = graft.ops.TextOps.stopwords.map(w => hits(w._2))
+      s"""$prelude, lh AS (
+         |  SELECT docid, $en AS h_en, $de AS h_de, $fr AS h_fr, $es AS h_es
+         |  FROM (SELECT docid, regexp_extract_all(lower(content), '$tokRegexSql') AS toks FROM corpus)
+         |)
+         |SELECT docid, CASE WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
+         |                   WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
+         |                   WHEN h_de > h_en THEN 'de' ELSE 'en' END AS lang_pred
+         |FROM lh""".stripMargin
+    },
+    "q_quality" -> {
+      val en = graft.ops.TextOps.stopwords.head._2.mkString("['", "','", "']")
+      s"""$prelude, qq AS (
+         |  SELECT docid, len(toks) AS n, CAST(length(content) AS DOUBLE) AS chars,
+         |         len(list_filter(toks, t -> list_contains($en, t))) AS stopn,
+         |         COALESCE(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))), 0) AS sumlen,
+         |         length(regexp_replace(content, '[A-Za-z]', '', 'g')) AS nonalpha
+         |  FROM (SELECT docid, content, regexp_extract_all(lower(content), '$tokRegexSql') AS toks FROM corpus)
+         |)
+         |SELECT docid, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(floor((CASE WHEN n > 0 THEN CAST(stopn AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS stop_q,
+         |  CAST(floor((CASE WHEN n > 0 THEN CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS meanlen_q,
+         |  CAST(floor((CASE WHEN chars > 0 THEN (chars - nonalpha) / chars ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS alpha_q
+         |FROM qq""".stripMargin
+    },
+    "q_fingerprint" ->
+      s"""$prelude, shx AS (
+         |  SELECT docid, CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS sh
+         |  FROM (SELECT docid, regexp_extract_all(lower(content), '$tokRegexSql') AS toks FROM corpus)
+         |)
+         |SELECT docid, array_to_string(list_sort(list_transform(sh, s -> md5(s)))[1:4], ',') AS fp
+         |FROM shx""".stripMargin,
+    "q_simhash" -> {
+      val votes = (0 until 16).map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+      val bits = (0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""$prelude, hv AS (
+         |  SELECT docid, CAST(concat('0x', substring(md5(term), 1, 4)) AS BIGINT) AS h FROM tokp
+         |), votes AS (
+         |  SELECT docid, $votes FROM hv GROUP BY 1
+         |)
+         |SELECT c.docid, COALESCE($bits, 0) AS simhash
+         |FROM corpus c LEFT JOIN votes USING (docid)""".stripMargin
+    },
+    "q_dedup_minhash" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+         |), ptoks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$tokRegexSql') AS toks FROM planted
+         |), psh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS sh
+         |  FROM ptoks
+         |), sig AS (
+         |  SELECT doc_id, sh, list_transform(range(1, 9),
+         |    i -> list_aggregate(list_transform(sh, s -> md5(concat(CAST(i AS VARCHAR), ':', s))), 'min')) AS sg
+         |  FROM psh
+         |), banded AS (
+         |  SELECT doc_id, band, array_to_string(sg[band*2+1:band*2+2], '|') AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), jac AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.dsh, sb.dsh))) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sa ON sa.doc_id = id_a
+         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sb ON sb.doc_id = id_b
+         |)
+         |SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jacc_q
+         |FROM jac WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
+    "q_ann_topk" -> {
+      val dot = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val nrm = (a: String) =>
+        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT e.vec_id,
+         |    ${dot("e.embedding", "q.qe")} / (${nrm("e.embedding")} * ${nrm("q.qe")}) AS cos
+         |  FROM embeddings e CROSS JOIN q
+         |)
+         |SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
+         |FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    "q_ann_lsh" -> {
+      val dot = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val nrm = (a: String) =>
+        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      def bucket(v: String) = (0 until 3)
+        .map(i => s"(CASE WHEN ${dot(v, s"hp.h$i")} > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH hp AS (
+         |  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 1) AS h0,
+         |         (SELECT embedding FROM embeddings WHERE vec_id = 2) AS h1,
+         |         (SELECT embedding FROM embeddings WHERE vec_id = 3) AS h2,
+         |         (SELECT embedding FROM embeddings WHERE vec_id = 0) AS qe
+         |), bux AS (
+         |  SELECT e.vec_id, e.embedding, ${bucket("e.embedding")} AS bucket, ${bucket("hp.qe")} AS qbucket,
+         |    ${dot("e.embedding", "hp.qe")} / (${nrm("e.embedding")} * ${nrm("hp.qe")}) AS cos
+         |  FROM embeddings e CROSS JOIN hp
+         |)
+         |SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
+         |FROM bux WHERE bucket = qbucket ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+    }
   )
+
+  /** Token regex for the oracle (single-quote doubled for SQL literals). */
+  private val tokRegexSql = "[a-z0-9_]+(?:[''.][a-z0-9_]+)*"
 }

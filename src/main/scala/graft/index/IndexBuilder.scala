@@ -38,30 +38,87 @@ final case class FieldStats(docCount: Long, sumTotalTermFreq: Long) {
   def avgdl: Double = if (docCount == 0) 0.0 else sumTotalTermFreq.toDouble / docCount
 }
 
-/** Deterministic dense docId assignment at scale: range-partition by the key,
-  * local sort, per-partition counts → driver prefix-sum → local row_number +
-  * broadcast offset. No global single-partition window, no RDD zipWithIndex;
-  * two shuffles total and every stage is fully parallel. docIds are invariant
-  * to the number of partitions (only the global key order matters).
+/** Deterministic dense docId assignment at scale: sample the key column ONCE
+  * on the driver → fixed range boundaries → broadcast binary-search assigns
+  * each row a range bucket → per-bucket counts → driver prefix-sum → local
+  * row_number + broadcast offset. No global single-partition window, no RDD
+  * zipWithIndex, and — critically — no `repartitionByRange`, whose boundary
+  * sampling is re-seeded per execution (fresh RDD ids), which would let the
+  * counts job and the ranking job disagree and mint duplicate docIds.
+  * docIds are invariant to partitioning (only the global key order matters).
   */
 object DocIds {
+
+  /** Unsigned byte-wise UTF-8 comparison — matches Spark's binary string
+    * ordering exactly (Java String.compareTo differs on supplementary chars).
+    */
+  private[index] def byteLess(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   def assign(df: DataFrame, keyColumns: Seq[String], numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = keyColumns.map(col)
-    val ranged = df
-      .repartitionByRange(numPartitions, keys: _*)
-      .withColumn("__pid", spark_partition_id())
-    val counts = ranged.groupBy($"__pid").count().collect()
+    // single sortable key: NUL-joined order-preserving encodings of the key
+    // columns order byte-identically to the column tuple (keys must be
+    // non-null and NUL-free; integral keys must be non-negative)
+    import org.apache.spark.sql.types._
+    val sortable = keyColumns.map { k =>
+      df.schema(k).dataType match {
+        case StringType => col(k)
+        case ByteType | ShortType | IntegerType | LongType =>
+          format_string("%019d", col(k).cast("long"))
+        case TimestampType => format_string("%019d", unix_micros(col(k)))
+        case DateType      => format_string("%019d", col(k).cast("long"))
+        case _             => col(k).cast("string")
+      }
+    }
+    val keyed = df.withColumn("__key", concat_ws("\u0000", sortable: _*))
+
+    // fixed boundaries from one deterministic driver-side sample
+    val total = keyed.count()
+    val targetSample = math.min(numPartitions.toLong * 200L, 1000000L)
+    val fraction = if (total == 0) 1.0 else math.min(1.0, targetSample.toDouble / total)
+    val sampled = keyed.select($"__key")
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .collect().map(_.getString(0)).sortWith(byteLess)
+    val boundaries: Array[String] =
+      if (sampled.isEmpty || numPartitions <= 1) Array.empty
+      else (1 until numPartitions)
+        .map(i => sampled(math.min(((i.toLong * sampled.length) / numPartitions).toInt, sampled.length - 1)))
+        .distinct.toArray
+    val bc = spark.sparkContext.broadcast(boundaries)
+    val pidUdf = udf((k: String) => {
+      val b = bc.value
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (byteLess(k, b(m))) hi = m else lo = m + 1
+      }
+      lo
+    })
+    val parted = keyed.withColumn("__pid", pidUdf($"__key"))
+
+    val counts = parted.groupBy($"__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
     val offsetsDf = spark.createDataset(offsets.toSeq).toDF("__pid", "__offset")
-    val w = Window.partitionBy($"__pid").orderBy(keys: _*)
-    ranged
+    val w = Window.partitionBy($"__pid").orderBy($"__key")
+    parted
       .join(broadcast(offsetsDf), "__pid")
       .withColumn("docId", row_number().over(w).cast("long") + $"__offset" - 1L)
-      .drop("__pid", "__offset")
+      .drop("__pid", "__offset", "__key")
   }
 }
 
@@ -165,26 +222,37 @@ object IndexBuilder {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = prepareDocs(source, schema, parts)
+    val blocks = blocksOf(tokensOf(docs, schema), parts)
+    val termDict = termDictOf(blocks)
+    new Index(spark, schema, docs, blocks, termDict, fieldStatsOf(blocks))
+  }
 
-    // Doc store: deterministic docId + content sha256 invariant stamp.
+  /** Doc store: deterministic docId + content sha256 invariant stamp. */
+  def prepareDocs(source: DataFrame, schema: IndexSchema, parts: Int): DataFrame = {
     var docs = DocIds.assign(source, schema.keyColumns, parts)
     val textFields = schema.fields.collect { case (n, t: TextField) => (n, t) }.toSeq.sortBy(_._1)
     textFields.foreach { case (n, _) =>
       docs = docs.withColumn(s"__sha256_$n", sha2(col(n).cast(StringType), 256))
     }
+    docs
+  }
 
-    // Tokenize once; emit TermDoc rows + one sentinel ("" term) per doc-field.
+  /** Tokenize once; emit TermDoc rows + one sentinel ("" term) per doc-field. */
+  def tokensOf(docs: DataFrame, schema: IndexSchema): Dataset[TermDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val fieldPlans: Seq[(String, FieldKind, Analyzer, Boolean)] = schema.fields.toSeq.sortBy(_._1).map {
       case (n, t @ TextField(a, p)) => (n, t, Analyzers.byName(a), p)
       case (n, KeywordField)        => (n, KeywordField, null, false)
     }
     val indexedCols = fieldPlans.map(_._1)
     val arrayKeyword: Set[String] = indexedCols.filter { c =>
-      source.schema(c).dataType.isInstanceOf[ArrayType]
+      docs.schema(c).dataType.isInstanceOf[ArrayType]
     }.toSet
     val inputCols = col("docId") +: indexedCols.map(c => col(c))
 
-    val tokens: Dataset[TermDoc] = docs.select(inputCols: _*).flatMap { row =>
+    docs.select(inputCols: _*).flatMap { row =>
       val docId = row.getLong(0)
       fieldPlans.iterator.zipWithIndex.flatMap { case ((name, kind, analyzer, withPos), i) =>
         val ci = i + 1
@@ -213,28 +281,32 @@ object IndexBuilder {
         }
       }
     }
+  }
 
-    // Salted, block-aligned postings build: one shuffle, streaming encoder,
-    // memory bounded by one 128-posting block.
-    val blocks: Dataset[PostingBlock] = tokens
+  /** Salted, block-aligned postings build: one shuffle, streaming encoder,
+    * memory bounded by one 128-posting block.
+    */
+  def blocksOf(tokens: Dataset[TermDoc], parts: Int): Dataset[PostingBlock] = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens
       .repartition(parts, col("field"), col("term"), shiftrightunsigned(col("docId"), SaltShift))
       .sortWithinPartitions("field", "term", "docId")
       .mapPartitions(rows => blockify(rows))
+  }
 
-    val termDict = blocks.filter($"term" =!= "")
-      .groupBy($"field", $"term")
-      .agg(sum($"numDocs").as("docFreq"), sum($"sumTf").as("totalTermFreq"))
+  def termDictOf(blocks: Dataset[PostingBlock]): DataFrame =
+    blocks.filter(col("term") =!= "")
+      .groupBy(col("field"), col("term"))
+      .agg(sum(col("numDocs")).as("docFreq"), sum(col("sumTf")).as("totalTermFreq"))
 
-    val statsRows = blocks.groupBy($"field").agg(
-      sum(when($"term" === "", $"numDocs").otherwise(0L)).as("docCount"),
-      sum(when($"term" =!= "", $"sumTf").otherwise(0L)).as("sumTotalTermFreq")
-    ).collect()
-    val fieldStats = statsRows.map { r =>
+  def fieldStatsOf(blocks: Dataset[PostingBlock]): Map[String, FieldStats] =
+    blocks.groupBy(col("field")).agg(
+      sum(when(col("term") === "", col("numDocs")).otherwise(0L)).as("docCount"),
+      sum(when(col("term") =!= "", col("sumTf")).otherwise(0L)).as("sumTotalTermFreq")
+    ).collect().map { r =>
       r.getString(0) -> FieldStats(r.getLong(1), r.getLong(2))
     }.toMap
-
-    new Index(spark, schema, docs, blocks, termDict, fieldStats)
-  }
 
   /** Group a (field, term, docId)-sorted iterator into encoded blocks. */
   def blockify(rows: Iterator[TermDoc]): Iterator[PostingBlock] =

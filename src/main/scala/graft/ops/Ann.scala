@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and an LSH (random-hyperplane sign
+  * bucket) variant as the scale path — bucketing turns the scan into a
+  * pruned subset before the exact re-rank, the standard IVF/LSH shape.
+  * All math is Spark-native higher-order functions (codegen, no UDF).
+  */
+object Ann {
+
+  /** Sequential-fold dot product (deterministic order for oracle parity). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against a literal query vector. */
+  def topkBrute(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Sign-bucket id for a vector against a set of hyperplanes:
+    * bit i = (v · h_i > 0). With deterministic hyperplanes this is the
+    * bucketing key for LSH-pruned search (search only the query's bucket).
+    */
+  def signBucket(vec: Column, hyperplanes: Seq[Seq[Float]]): Column =
+    hyperplanes.zipWithIndex.map { case (h, i) =>
+      val hc = array(h.map(v => lit(v)): _*)
+      when(dot(vec, hc) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-pruned top-k: filter to the query's sign bucket, then exact cosine
+    * re-rank. Recall < 1 by construction; the scale win is scanning
+    * ~1/2^H of the corpus.
+    */
+  def topkLsh(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+      hyperplanes: Seq[Seq[Float]], k: Int): DataFrame = {
+    val qBucket = hyperplanes.zipWithIndex.map { case (h, i) =>
+      val d = h.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+    df.filter(signBucket(col(vecCol), hyperplanes) === qBucket)
+      .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

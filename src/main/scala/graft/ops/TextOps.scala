@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * from Spark native (codegen'd) expressions — no UDFs in the hot path.
+  * Every op has a deterministic SQL mirror for the DuckDB oracle.
+  */
+object TextOps {
+
+  /** ASCII word-extraction regex shared with [[graft.analysis.Analyzers.standard]]. */
+  val wordRegex = "[a-z0-9_]+(?:['.][a-z0-9_]+)*"
+
+  /** Lowercased tokens as an array column (codegen'd regexp). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(wordRegex), lit(0))
+
+  /** Exact token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Tiny per-language function-word lists (public common words). The
+    * detector is a ratio heuristic: argmax over languages of
+    * |tokens ∩ stopwords(lang)| / |tokens|.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ein", "ist", "nicht", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "un", "una", "es", "para", "en", "que"))
+
+  /** Count of tokens present in `words` (order-stable fold). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    aggregate(toks, lit(0),
+      (acc, t) => acc + when(t.isin(words: _*), 1).otherwise(0))
+
+  /** Predicted language code by max stopword-hit count; ties break by
+    * language-code order (en < de... explicit priority = list order).
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    // fold left keeping (bestLang, bestHits); list order is the tiebreak
+    stopwords.foldLeft((lit("und"), lit(-1)): (Column, Column)) {
+      case ((bestLang, bestHits), (lang, words)) =>
+        val h = stopwordHits(toks, words)
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+          when(h > bestHits, h).otherwise(bestHits))
+    }._1
+  }
+
+  /** Quality metrics struct: token count, char count, stopword ratio (en),
+    * mean token length, alpha ratio. Mirrors common pretraining-data
+    * quality heuristics (length/punct/stopword ratios).
+    */
+  def quality(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val chars = length(text).cast("double")
+    val stopRatio = when(n > 0, stopwordHits(toks, stopwords.head._2).cast("double") / n).otherwise(0.0)
+    val meanLen = when(n > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n).otherwise(0.0)
+    val alphaRatio = when(chars > 0,
+      (chars - length(regexp_replace(text, lit("[A-Za-z]"), lit("")))) / chars).otherwise(0.0)
+    struct(
+      size(toks).as("n_tokens"),
+      length(text).as("n_chars"),
+      stopRatio.as("stopword_ratio"),
+      meanLen.as("mean_token_len"),
+      alphaRatio.as("alpha_ratio"))
+  }
+
+  /** Word n-gram shingles: array of space-joined n-grams. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+    ).otherwise(array())
+  }
+
+  /** k-min-hash document fingerprint: the k lexicographically smallest
+    * md5(shingle) values, joined — a deterministic, SQL-mirrorable stand-in
+    * for rolling-hash winnowing (same selectivity shape: content-defined,
+    * local-edit tolerant).
+    */
+  def fingerprint(text: Column, n: Int = 3, k: Int = 4): Column =
+    concat_ws(",", slice(array_sort(transform(shingles(text, n), s => md5(s))), 1, k))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.exec.Searcher
+import graft.fixtures.CodeCorpus
+import graft.index._
+import graft.query._
+
+/** Scale-path behaviors: checkpointed resumable build with lineage,
+  * partition-count invariance, and parquet filter pushdown on the saved
+  * index layout.
+  */
+class ScaleSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  lazy val corpus = CodeCorpus.generate(spark, 200, 4).cache()
+  lazy val schema = IndexSchema(
+    keyColumns = Seq("repo", "path", "commit"),
+    fields = Map("content" -> TextField("code", positions = true), "lang" -> KeywordField))
+
+  private def topk(s: Searcher, q: Query, k: Int = 20): Seq[(Long, Double)] =
+    s.search(q, k).collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+
+  val refQueries: Seq[Query] = Seq(
+    Term("content", "def"),
+    Term("content", "the"),
+    Query.all(Term("content", "parse"), Term("content", "merge")),
+    Query.any(Term("content", "index"), Term("content", "scan")),
+    Query.phrase("content", "we", "the", "people"),
+    Prefix("content", "tok"))
+
+  test("checkpointed build: commits segments with lineage metrics, matches in-memory build") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val idx = CheckpointedBuild.build(corpus, schema, dir, segments = 4, numPartitions = 4)
+    val mem = IndexBuilder.build(corpus, schema, numPartitions = 4)
+    val (sCk, sMem) = (new Searcher(idx), new Searcher(mem))
+    refQueries.foreach { q => assert(topk(sCk, q) === topk(sMem, q), s"query $q") }
+
+    val segs = CheckpointedBuild.segmentsTable(spark, dir)
+    val rows = segs.collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getAs[String]("status") == "committed"))
+    assert(rows.map(_.getAs[Long]("docsIndexed")).sum === 200L)
+    assert(rows.forall(_.getAs[Long]("postingsWritten") > 0L))
+    assert(rows.forall(_.getAs[Long]("bytesCompressed") > 0L))
+  }
+
+  test("resume: a lost segment is rebuilt, committed segments are skipped") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    CheckpointedBuild.build(corpus, schema, dir, segments = 4, numPartitions = 4)
+    val before = spark.read.parquet(s"$dir/postings").count()
+    // simulate a failed/lost segment: remove its directory
+    val seg2 = new java.io.File(s"$dir/postings/segment=2")
+    assert(seg2.exists)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(seg2)
+    val idx2 = CheckpointedBuild.build(corpus, schema, dir, segments = 4, numPartitions = 4)
+    assert(spark.read.parquet(s"$dir/postings").count() === before)
+    // lineage shows the re-commit (original 4 + 1 rebuild)
+    assert(CheckpointedBuild.segmentsTable(spark, dir).count() === 5L)
+    // and the resumed index answers identically to a fresh one
+    val sMem = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 4))
+    val s2 = new Searcher(idx2)
+    refQueries.foreach { q => assert(topk(s2, q) === topk(sMem, q), s"query $q") }
+  }
+
+  test("partition-count invariance: results identical at 2 vs 8 partitions") {
+    val a = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 2))
+    val b = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 8))
+    refQueries.foreach { q => assert(topk(a, q) === topk(b, q), s"query $q") }
+    assert(a.index.fieldStats === b.index.fieldStats)
+  }
+
+  test("saved layout: term filters push down to the parquet scan") {
+    val dir = Files.createTempDirectory("graft-save").toString
+    IndexBuilder.build(corpus, schema, numPartitions = 4).save(dir)
+    val loaded = IndexBuilder.load(spark, dir)
+    val s = new Searcher(loaded)
+    // same results after save/load
+    val mem = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 4))
+    refQueries.foreach { q => assert(topk(s, q) === topk(mem, q), s"query $q") }
+    // physical plan: EqualTo on field+term reaches PushedFilters
+    val plan = loaded.blocks
+      .filter(col("field") === "content" && col("term") === "def")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("EqualTo(term,def)"), plan.take(2000))
+    // sha256 invariant present on the saved doc store
+    val bad = loaded.docs
+      .filter(sha2(col("content"), 256) =!= col("__sha256_content")).count()
+    assert(bad === 0L)
+  }
+
+  test("hot-term skew: 'the'/'def' posting blocks stay block-aligned and decodable") {
+    val idx = IndexBuilder.build(corpus, schema, numPartitions = 8)
+    val hot = idx.blocks.filter(col("term") === "def").collect()
+    assert(hot.map(_.numDocs).sum > 100) // hot term present in most docs
+    assert(hot.forall(_.numDocs <= PostingCodec.BlockSize))
+    // blocks are disjoint, ascending docId ranges
+    val ranges = hot.map(b => (b.firstDocId, b.lastDocId)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 < s2)
+      case _ =>
+    }
+  }
+}
