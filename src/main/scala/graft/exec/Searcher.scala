@@ -87,8 +87,15 @@ class Searcher(val index: Index) extends Serializable {
 
   // -------------------------------------------------------------- evaluation
 
-  /** Evaluate a query to (docId: Long, score: Double), one row per doc. */
-  def eval(q: Query): DataFrame = q match {
+  /** Evaluate a query to (docId: Long, score: Double), one row per doc;
+    * tombstoned docs are pruned at the top (liveDocs semantics).
+    */
+  def eval(q: Query): DataFrame = index.deletes match {
+    case None    => evalInner(q)
+    case Some(d) => evalInner(q).join(d, Seq("docId"), "left_anti")
+  }
+
+  private def evalInner(q: Query): DataFrame = q match {
     case Term(f, t) => evalTerm(f, t, 1.0)
 
     case TermSet(f, ts) => // constant-score term-set (TermInSetQuery)
@@ -280,6 +287,64 @@ class Searcher(val index: Index) extends Serializable {
 
   // ----------------------------------------------------------------- search
 
+  /** When true, pure term-disjunction top-k routes through the block-max
+    * WAND evaluator instead of exhaustive scoring (rank-identical; prunes
+    * non-competitive blocks undecoded).
+    */
+  var wandEnabled = true
+
+  /** Match a query shape WAND can serve: SHOULD-only boolean over Terms of
+    * one field (with optional boosts), or a boosted such query.
+    */
+  private def wandable(q: Query, boost: Double = 1.0): Option[(String, Seq[(String, Double)])] =
+    q match {
+      case Bool(clauses) if clauses.nonEmpty && clauses.forall(_._1 == Occur.Should) =>
+        val terms = clauses.map {
+          case (_, Term(f, t))           => Some((f, t, boost))
+          case (_, Boost(Term(f, t), b)) => Some((f, t, boost * b))
+          case _                         => None
+        }
+        if (terms.exists(_.isEmpty)) None
+        else {
+          val ts = terms.flatten
+          if (ts.map(_._1).distinct.length == 1)
+            Some((ts.head._1, ts.map(x => (x._2, x._3))))
+          else None
+        }
+      case Boost(sub, b) => wandable(sub, boost * b)
+      case _             => None
+    }
+
+  /** Block-max WAND top-k over a weighted term disjunction: blocks of the
+    * query terms are co-partitioned by docId salt bucket (blocks never span
+    * one), each partition runs document-at-a-time BMW keeping k candidates,
+    * and a global TakeOrdered merges — one narrow shuffle of blocks, no
+    * groupBy, non-competitive blocks never decoded.
+    */
+  def searchWand(field: String, weightedTerms: Seq[(String, Double)], k: Int): DataFrame = {
+    val st = index.fieldStats.getOrElse(field, return emptyMatches)
+    val stats = termStats(field, weightedTerms.map(_._1))
+    val weights: Seq[(String, Double)] = weightedTerms.flatMap { case (t, b) =>
+      stats.get(t).map { case (df, _) => t -> b * Bm25.idf(st.docCount, df) }
+    }
+    if (weights.isEmpty) return emptyMatches
+    val avgdl = st.avgdl
+    val kk = k
+    val wts = weights
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    index.blocks
+      .filter(col("field") === field && col("term").isin(weights.map(_._1).distinct: _*))
+      .repartition(parts, shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift))
+      .mapPartitions { it =>
+        val byTerm = it.toArray.groupBy(_.term)
+        val termBlocks = wts.map { case (t, w) => (w, byTerm.getOrElse(t, Array.empty)) }
+        Wand.topkPartition(termBlocks, avgdl, kk)._1.iterator
+      }
+      .toDF("docId", "score")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
   /** Top-k search (reference IndexSearcher.search, indexers.py:401-432).
     * Relevance: score desc, docId asc (Lucene collector order) →
     * TakeOrderedAndProject. Field sort: join the tiny match set to docvalue
@@ -287,6 +352,11 @@ class Searcher(val index: Index) extends Serializable {
     */
   def search(q: Query, k: Int = 10, sorts: Seq[SortSpec] = Nil,
       select: Seq[String] = Nil): DataFrame = {
+    if (wandEnabled && k > 0 && sorts.isEmpty && select.isEmpty && index.deletes.isEmpty) {
+      wandable(q).foreach { case (f, wts) =>
+        if (wts.length > 1) return searchWand(f, wts, k)
+      }
+    }
     val m = eval(q)
     val ordering: Seq[Column] =
       if (sorts.isEmpty) Seq(col("score").desc, col("docId").asc)
@@ -295,17 +365,33 @@ class Searcher(val index: Index) extends Serializable {
     val needed = (sortFields ++ select).distinct.filterNot(_ == "docId")
     val joined =
       if (needed.isEmpty) m
-      else m.join(index.docs.select((col("docId") +: needed.map(col(_))): _*), "docId")
+      else m.join(index.docs.select((col("docId") +: needed.map(graft.index.Cols.qcol)): _*), "docId")
     val ranked = joined.orderBy(ordering: _*)
     if (k > 0) ranked.limit(k) else ranked
   }
 
   def count(q: Query): Long = eval(q).count()
 
+  /** (docId, value) pairs of an indexed field — docvalues reconstructed from
+    * the postings themselves (used for component fields that are not doc
+    * columns, e.g. NestedField parts).
+    */
+  def docTerms(field: String): DataFrame =
+    index.blocks.filter(col("field") === field && col("term") =!= "")
+      .flatMap(b => PostingCodec.decodeBlock(b, withPositions = false).map(p => (b.term, p.docId)))
+      .toDF("value", "docId")
+
+  /** docId → field value, preferring the doc-store column, else the index. */
+  private def fieldValues(field: String): DataFrame =
+    if (index.docs.columns.contains(field))
+      index.docs.select(col("docId"), graft.index.Cols.qcol(field).as("value"))
+    else docTerms(field).select(col("docId"), col("value"))
+
   /** Per-field value→count of matching docs (facets, indexers.py:434-446). */
   def facets(q: Query, field: String): DataFrame =
-    eval(q).join(index.docs.select("docId", field), "docId")
-      .groupBy(field).agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    eval(q).join(fieldValues(field), "docId")
+      .groupBy("value").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .withColumnRenamed("value", field.replace('.', '_'))
 
   /** Named sub-query intersection counts (facets query_map variant). */
   def facetQueries(q: Query, subs: Map[String, Query]): Map[String, Long] =
@@ -317,17 +403,156 @@ class Searcher(val index: Index) extends Serializable {
     */
   def groupBy(field: String, q: Query, groups: Int = 10, docsPerGroup: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = eval(q).join(index.docs.select("docId", field), "docId")
-    val w = Window.partitionBy(col(field)).orderBy(col("score").desc, col("docId").asc)
+    val scored = eval(q).join(fieldValues(field), "docId")
+    val wOrd = Window.partitionBy(col("value")).orderBy(col("score").desc, col("docId").asc)
+    val wAll = Window.partitionBy(col("value"))
     val ranked = scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("groupCount",
-        org.apache.spark.sql.functions.count(lit(1)).over(Window.partitionBy(col(field))))
-      .withColumn("groupMax", max(col("score")).over(Window.partitionBy(col(field))))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("groupCount", org.apache.spark.sql.functions.count(lit(1)).over(wAll))
+      // group rank = its best (score, docId) hit — Lucene relevance group
+      // sort incl. the docId tie-break on equal scores
+      .withColumn("groupOrd", min(struct((col("score") * -1).as("ns"), col("docId"))).over(wAll))
       .filter(col("rn") <= docsPerGroup)
-    ranked.orderBy(col("groupMax").desc, col(field).asc, col("rn").asc)
+    ranked.orderBy(col("groupOrd").asc, col("rn").asc)
       .limit(groups * docsPerGroup)
-      .select(col(field), col("groupCount"), col("docId"), col("score"), col("rn"))
+      .select(col("value").as(field.replace('.', '_')), col("groupCount"),
+        col("docId"), col("score"), col("rn"))
+  }
+
+  /** Tombstone every doc matching the query; returns a searcher over the
+    * narrowed index (IndexWriter.delete, indexers.py:578-586).
+    */
+  def delete(q: Query): Searcher = new Searcher(index.withDeletes(eval(q).select("docId")))
+
+  /** Score ad-hoc queries against ONE in-memory document, Lucene MemoryIndex
+    * style (IndexSearcher.match, indexers.py:455-461): single-doc collection
+    * stats (N=1, df=1 for present terms, avgdl=dl). No cluster job.
+    */
+  def matchDoc(doc: Map[String, String], queries: Seq[Query]): Seq[Double] = {
+    val analyzed: Map[String, IndexedSeq[graft.analysis.Token]] = doc.map { case (f, text) =>
+      index.schema.fields.get(f) match {
+        case Some(graft.index.TextField(a, _)) => f -> graft.analysis.Analyzers.byName(a).tokens(text)
+        case _ => f -> IndexedSeq(graft.analysis.Token(text, 0, 0, text.length))
+      }
+    }
+    def tfOf(f: String, t: String): Int = analyzed.get(f).map(_.count(_.term == t)).getOrElse(0)
+    def k(f: String): Double = {
+      val dl = analyzed.get(f).map(_.length).getOrElse(0)
+      val dlq = graft.util.SmallFloat.quantizeLength(dl)
+      if (dl == 0) Bm25.k1 else Bm25.k1 * (1 - Bm25.b + Bm25.b * dlq.toDouble / dl)
+    }
+    val idf1 = Bm25.idf(1, 1) // single-doc index
+    def score(q: Query): Option[Double] = q match {
+      case Term(f, t) =>
+        val tf = tfOf(f, t)
+        if (tf == 0) None else Some(idf1 * tf / (tf + k(f)))
+      case Phrase(f, terms, slop) =>
+        val lists = terms.zipWithIndex.collect { case (Some(t), i) =>
+          analyzed.getOrElse(f, IndexedSeq.empty).filter(_.term == t).map(_.pos - i).toArray
+        }
+        if (lists.exists(_.isEmpty)) None
+        else {
+          val freq = PhraseMatcher.phraseFreq(lists.toArray, slop)
+          if (freq == 0) None
+          else Some(idf1 * lists.length * freq / (freq + k(f)))
+        }
+      case Bool(clauses) =>
+        val scored = clauses.map { case (o, sub) => (o, score(sub)) }
+        val required = scored.collect { case (Occur.Must | Occur.Filter, s) => s }
+        if (required.exists(_.isEmpty)) None
+        else if (scored.exists { case (o, s) => o == Occur.MustNot && s.isDefined }) None
+        else {
+          val positive = scored.collect {
+            case (Occur.Must, Some(s))   => s
+            case (Occur.Should, Some(s)) => s
+          }
+          if (positive.isEmpty && required.isEmpty) None else Some(positive.sum)
+        }
+      case Boost(sub, b)  => score(sub).map(_ * b)
+      case Constant(sub)  => score(sub).map(_ => 1.0)
+      case AllDocs        => Some(1.0)
+      case _              => None
+    }
+    queries.map(q => score(q).getOrElse(0.0))
+  }
+
+  /** Forward index of one doc: term → freq (reference termvector,
+    * indexers.py:277-287), reconstructed by re-analyzing the stored field.
+    */
+  def termVector(docId: Long, field: String): Map[String, Int] = {
+    val rows = index.docs.filter(col("docId") === docId)
+      .select(graft.index.Cols.qcol(field)).collect()
+    if (rows.isEmpty || rows(0).isNullAt(0)) Map.empty
+    else index.schema.analyzerFor(field).terms(rows(0).getString(0))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  /** term → ascending positions (or character offsets) of one doc
+    * (positionvector, indexers.py:289-297).
+    */
+  def positionVector(docId: Long, field: String, offsets: Boolean = false): Map[String, Seq[(Int, Int)]] = {
+    val rows = index.docs.filter(col("docId") === docId)
+      .select(graft.index.Cols.qcol(field)).collect()
+    if (rows.isEmpty || rows(0).isNullAt(0)) Map.empty
+    else index.schema.analyzerFor(field).tokens(rows(0).getString(0))
+      .groupBy(_.term).view.mapValues(_.map(t =>
+        if (offsets) (t.startOffset, t.endOffset) else (t.pos, t.pos)).toSeq).toMap
+  }
+
+  /** Span matches per doc for a near query: (docId, [(start, end)...])
+    * (IndexSearcher.spans, indexers.py:354-376).
+    */
+  def spans(q: Near): DataFrame = {
+    val field = q.field
+    val n = q.terms.length
+    val parts: Seq[Dataset[PosRow]] = q.terms.zipWithIndex.map { case (t, kk) =>
+      postings(field, t, withPositions = true).map(p => PosRow(p.docId, kk, p.dlq, p.positions))
+    }
+    val so = q.slop
+    parts.reduce(_ unionAll _)
+      .groupByKey(_.docId)
+      .mapGroups { (docId, it) =>
+        val rows = it.toArray
+        if (rows.map(_.idx).distinct.length < n) (docId, Array.empty[(Int, Int)])
+        else (docId, PhraseMatcher.orderedNearSpans(PhraseMatcher.byIdx(rows, n), so))
+      }
+      .filter(_._2.nonEmpty)
+      .toDF("docId", "spans")
+  }
+
+  /** Nested-field prefix query: routes to the narrowest component field
+    * (NestedField.prefix, documents.py:156-159).
+    */
+  def nestedPrefix(name: String, value: String): Query = index.schema.fields.get(name) match {
+    case Some(graft.index.NestedField(sep)) =>
+      val names = name.split(java.util.regex.Pattern.quote(sep))
+      val depth = value.split(java.util.regex.Pattern.quote(sep), -1).length - 1
+      Prefix((1 to math.min(depth + 1, names.length)).map(i => names.take(i).mkString(sep)).last, value)
+    case _ => Prefix(name, value)
+  }
+
+  /** Nested-field range query on the narrowest component (documents.py:160-164). */
+  def nestedRange(name: String, start: String, stop: String): Query =
+    index.schema.fields.get(name) match {
+      case Some(graft.index.NestedField(sep)) =>
+        val names = name.split(java.util.regex.Pattern.quote(sep))
+        val depth = Seq(Option(start), Option(stop)).flatten
+          .map(v => v.split(java.util.regex.Pattern.quote(sep), -1).length - 1).max
+        TermRange(names.take(math.min(depth + 1, names.length)).mkString(sep),
+          Option(start), Option(stop))
+      case _ => TermRange(name, Option(start), Option(stop))
+    }
+
+  /** Filtered copy: rebuild an index over the matching subset of the source
+    * (reference `copy` with query/exclude, indexers.py:60-77,195-218 —
+    * docIds re-densify, as after a Lucene merge).
+    */
+  def copyIndex(q: Query, exclude: Boolean = false): graft.index.Index = {
+    val ids = eval(q).select("docId")
+    val srcCols = index.docs.columns.filterNot(c => c == "docId" || c.startsWith("__sha256_"))
+    val subset = index.docs.join(ids, Seq("docId"), if (exclude) "left_anti" else "left_semi")
+      .select(srcCols.map(graft.index.Cols.qcol): _*)
+    graft.index.IndexBuilder.build(subset, index.schema)
   }
 
   // --------------------------------------------------- dictionary/introspect
@@ -529,6 +754,30 @@ object PhraseMatcher {
       }
     }
     freq
+  }
+
+  /** Ordered-near span matches as (startPos, endPos-exclusive) pairs. */
+  def orderedNearSpans(lists: Array[Array[Int]], slop: Int): Array[(Int, Int)] = {
+    val n = lists.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val first = lists(0)
+    var s = 0
+    while (s < first.length) {
+      val p0 = first(s)
+      var prev = p0
+      var ok = true
+      var i = 1
+      while (i < n && ok) {
+        val l = lists(i)
+        var j = 0
+        while (j < l.length && l(j) <= prev) j += 1
+        if (j >= l.length) ok = false else prev = l(j)
+        i += 1
+      }
+      if (ok && (prev - p0 + 1) - n <= slop) out += ((p0, prev + 1))
+      s += 1
+    }
+    out.toArray
   }
 
   /** Ordered near: greedy scan requiring strictly increasing positions with

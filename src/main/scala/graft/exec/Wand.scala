@@ -1,0 +1,160 @@
+package graft.exec
+
+import scala.collection.mutable
+
+import graft.index.{Posting, PostingBlock, PostingCodec}
+
+/** Block-max WAND (BMW) top-k evaluation over one partition's posting blocks
+  * (north_rule perf layer; SURVEY.md §4.4).
+  *
+  * Exact: pivoting uses per-term GLOBAL upper bounds (max block bound), so a
+  * doc is only skipped when it provably cannot beat the running k-th score;
+  * the block-max refinement then skips whole undecoded blocks via their skip
+  * pointers (firstDocId/lastDocId) and (maxTf, minDlq) score bounds. The
+  * per-partition top-k is a superset of the partition's contribution to the
+  * global top-k, so the global TakeOrdered merge is rank-identical to
+  * exhaustive scoring.
+  */
+object Wand {
+
+  /** Max BM25 contribution any doc in the block can receive from its term. */
+  def blockUpperBound(b: PostingBlock, weight: Double, avgdl: Double): Double =
+    Bm25.score(b.maxTf.toDouble, b.minDlq, weight, avgdl)
+
+  /** One term's doc-ordered cursor over its (bucket-local) blocks. */
+  private final class Cursor(val weight: Double, avgdl: Double, blocksIn: Array[PostingBlock]) {
+    val blocks: Array[PostingBlock] = blocksIn.sortBy(_.firstDocId)
+    val termUb: Double = blocks.map(blockUpperBound(_, weight, avgdl)).max
+    private var bi = 0
+    private var decoded: Array[Posting] = _
+    private var pi = 0
+    var curDoc: Long = -1L
+    var decodedBlocks: Long = 0L
+
+    next()
+
+    private def decode(): Unit = {
+      decoded = PostingCodec.decodeBlock(blocks(bi), withPositions = false)
+      decodedBlocks += 1
+      pi = 0
+    }
+
+    def next(): Unit = {
+      if (decoded == null) {
+        if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+        decode()
+      } else pi += 1
+      while (pi >= decoded.length) {
+        bi += 1
+        if (bi >= blocks.length) { curDoc = Long.MaxValue; decoded = null; return }
+        decode()
+      }
+      curDoc = decoded(pi).docId
+    }
+
+    /** First doc ≥ target; whole non-overlapping blocks are skipped
+      * UNDECODED via their skip pointers.
+      */
+    def advanceTo(target: Long): Unit = {
+      if (curDoc >= target) return
+      if (decoded != null && blocks(bi).lastDocId >= target) {
+        while (pi < decoded.length && decoded(pi).docId < target) pi += 1
+        if (pi < decoded.length) { curDoc = decoded(pi).docId; return }
+        bi += 1; decoded = null
+      } else if (decoded != null) {
+        bi += 1; decoded = null
+      }
+      while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+      decode()
+      while (pi < decoded.length && decoded(pi).docId < target) pi += 1
+      // blocks are ascending and lastDocId >= target, so pi is in range
+      curDoc = decoded(pi).docId
+    }
+
+    /** Upper bound of the block that would contain `target` (no decode);
+      * also returns that block's lastDocId as the skip boundary.
+      */
+    def shallowBound(target: Long): (Double, Long) = {
+      var j = bi
+      while (j < blocks.length && blocks(j).lastDocId < target) j += 1
+      if (j >= blocks.length) (0.0, Long.MaxValue)
+      else (blockUpperBound(blocks(j), weight, avgdl), blocks(j).lastDocId)
+    }
+
+    def currentScore: Double = {
+      val p = decoded(pi)
+      Bm25.score(p.tf.toDouble, p.dlq, weight, avgdl)
+    }
+  }
+
+  /** WAND over one partition's blocks for a weighted SHOULD-of-terms query.
+    *
+    * @param termBlocks per query term: (BM25 weight, its blocks here)
+    * @return (top-k (docId, score) candidates, number of blocks decoded —
+    *         the pruning evidence; exhaustive would decode all of them)
+    */
+  def topkPartition(termBlocks: Seq[(Double, Array[PostingBlock])], avgdl: Double,
+      k: Int): (Array[(Long, Double)], Long) = {
+    val cursors = termBlocks.filter(_._2.nonEmpty)
+      .map { case (w, bs) => new Cursor(w, avgdl, bs) }.toArray
+    if (cursors.isEmpty) return (Array.empty, 0L)
+    // head = worst kept entry: smallest score, then largest docId
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by((sd: (Double, Long)) => (-sd._1, sd._2)))
+    def full: Boolean = heap.size >= k
+    def theta: Double = if (full) heap.head._1 else -1.0
+
+    var live = cursors.filter(_.curDoc != Long.MaxValue).sortBy(_.curDoc)
+    while (live.nonEmpty) {
+      // pivot by global term bounds (safe)
+      var ubSum = 0.0
+      var pivotIdx = -1
+      var i = 0
+      while (i < live.length && pivotIdx < 0) {
+        ubSum += live(i).termUb
+        if (ubSum > theta) pivotIdx = i
+        i += 1
+      }
+      if (pivotIdx < 0) return (drain(heap), cursors.map(_.decodedBlocks).sum)
+      val pivotDoc = live(pivotIdx).curDoc
+      // all cursors positioned at ≤ pivotDoc can contribute to it
+      var endIdx = pivotIdx
+      while (endIdx + 1 < live.length && live(endIdx + 1).curDoc <= pivotDoc) endIdx += 1
+
+      // block-max refinement: bound the pivot doc by its ACTUAL blocks
+      var blockSum = 0.0
+      var minBoundary = Long.MaxValue
+      var j = 0
+      while (j <= endIdx) {
+        val (ub, boundary) = live(j).shallowBound(pivotDoc)
+        blockSum += ub
+        if (boundary < minBoundary) minBoundary = boundary
+        j += 1
+      }
+      if (full && blockSum <= theta) {
+        // no doc in [pivotDoc, min(minBoundary, nextCursor-1)] can win:
+        // cursors beyond endIdx only contribute from their curDoc onward
+        val nextDoc = if (endIdx + 1 < live.length) live(endIdx + 1).curDoc else Long.MaxValue
+        val target = math.max(math.min(minBoundary + 1, nextDoc), pivotDoc + 1)
+        var m = 0
+        while (m <= endIdx) { live(m).advanceTo(target); m += 1 }
+      } else if (live.head.curDoc == pivotDoc) {
+        var score = 0.0
+        live.foreach { c =>
+          if (c.curDoc == pivotDoc) { score += c.currentScore; c.next() }
+        }
+        if (!full) heap.enqueue((score, pivotDoc))
+        else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, pivotDoc)) }
+      } else {
+        var m = 0
+        while (m < pivotIdx) { live(m).advanceTo(pivotDoc); m += 1 }
+      }
+      live = cursors.filter(_.curDoc != Long.MaxValue).sortBy(_.curDoc)
+    }
+    (drain(heap), cursors.map(_.decodedBlocks).sum)
+  }
+
+  private def drain(heap: mutable.PriorityQueue[(Double, Long)]): Array[(Long, Double)] =
+    heap.dequeueAll.toArray.map(sd => (sd._2, sd._1))
+}

@@ -17,6 +17,12 @@ sealed trait FieldKind extends Serializable
 final case class TextField(analyzer: String = "standard", positions: Boolean = true) extends FieldKind
 /** Exact, untokenized keyword (Field.String, indexOptions=DOCS, omitNorms). */
 case object KeywordField extends FieldKind
+/** Hierarchical keyword: indexes every dotted component prefix into its own
+  * field — field names come from splitting the column name, values from
+  * splitting the value (reference NestedField,
+  * /root/reference/lupyne/engine/documents.py:127-164).
+  */
+final case class NestedField(sep: String = ".") extends FieldKind
 
 /** Index schema: which columns are indexed and how, plus the stable key that
   * defines deterministic docId order (dense rank over `keyColumns` — the
@@ -26,8 +32,14 @@ case object KeywordField extends FieldKind
 final case class IndexSchema(keyColumns: Seq[String], fields: Map[String, FieldKind]) {
   def analyzerFor(f: String): Analyzer = fields(f) match {
     case TextField(a, _) => Analyzers.byName(a)
-    case KeywordField    => Analyzers.whitespace // unused; keywords bypass analysis
+    case _               => Analyzers.whitespace // unused; keywords bypass analysis
   }
+}
+
+/** Column reference that tolerates dots in source column names. */
+object Cols {
+  def qcol(name: String): _root_.org.apache.spark.sql.Column =
+    if (name.contains(".")) col(s"`$name`") else col(name)
 }
 
 /** Collected corpus statistics for one field (Lucene CollectionStatistics):
@@ -136,9 +148,78 @@ final class Index(
     val docs: DataFrame, // source columns + docId + __sha256_<textField>
     val blocks: Dataset[PostingBlock],
     val termDict: DataFrame, // (field, term, docFreq, totalTermFreq)
-    val fieldStats: Map[String, FieldStats]
+    val fieldStats: Map[String, FieldStats],
+    val deletes: Option[DataFrame] = None // tombstoned docIds (liveDocs bits)
 ) {
   def numDocs: Long = docs.count()
+
+  /** Live doc count (deletes are tombstones until an expunge/rebuild,
+    * mirroring Lucene liveDocs — reference indexers.py:98-109).
+    */
+  def numLiveDocs: Long = deletes match {
+    case None    => numDocs
+    case Some(d) => docs.join(d, Seq("docId"), "left_anti").count()
+  }
+
+  /** Tombstone additional docIds (reference IndexWriter.delete,
+    * indexers.py:578-586): term statistics intentionally keep counting
+    * deleted docs until a rebuild, exactly like Lucene before a merge.
+    */
+  def withDeletes(ids: DataFrame): Index = {
+    val all = deletes.map(_.unionByName(ids).distinct()).getOrElse(ids.distinct())
+    new Index(spark, schema, docs, blocks, termDict, fieldStats, Some(all))
+  }
+
+  /** Append new source rows as a fresh segment: new docIds start past the
+    * current max; posting blocks concatenate with no merge pass
+    * (IndexWriter.add / __iadd__, indexers.py:559-561,588-592).
+    */
+  def append(rows: DataFrame): Index = {
+    val offset = docs.agg(max(col("docId"))).collect()(0).getLong(0) + 1
+    val seg = IndexBuilder.build(rows, schema)
+    val segDocs = seg.docs.withColumn("docId", col("docId") + offset)
+    import spark.implicits._
+    val segBlocks = seg.blocks.map(b =>
+      b.copy(firstDocId = b.firstDocId + offset, lastDocId = b.lastDocId + offset))
+    val newBlocks = blocks.unionAll(segBlocks)
+    val stats = (fieldStats.keySet ++ seg.fieldStats.keySet).map { k =>
+      val a = fieldStats.getOrElse(k, FieldStats(0, 0))
+      val b = seg.fieldStats.getOrElse(k, FieldStats(0, 0))
+      k -> FieldStats(a.docCount + b.docCount, a.sumTotalTermFreq + b.sumTotalTermFreq)
+    }.toMap
+    new Index(spark, schema, docs.unionByName(segDocs), newBlocks,
+      IndexBuilder.termDictOf(newBlocks), stats, deletes)
+  }
+
+  /** Full integrity check (reference IndexWriter.check, indexers.py:528-536):
+    * decode every block, verify monotone docIds and block metadata, and
+    * cross-check docFreq/totalTermFreq against the term dictionary.
+    * Returns (blocksChecked, postingsChecked); throws on corruption.
+    */
+  def check(): (Long, Long) = {
+    import spark.implicits._
+    val perBlock = blocks.map { b =>
+      val ps = PostingCodec.decodeBlock(b, withPositions = true)
+      require(ps.length == b.numDocs, s"numDocs mismatch in ${b.field}:${b.term}")
+      require(ps.head.docId == b.firstDocId && ps.last.docId == b.lastDocId,
+        s"skip-pointer mismatch in ${b.field}:${b.term}")
+      ps.sliding(2).foreach {
+        case Array(a, c) => require(a.docId < c.docId, "non-monotone docIds")
+        case _           =>
+      }
+      require(ps.map(_.tf).max == b.maxTf && ps.map(_.tf.toLong).sum == b.sumTf,
+        s"block-max metadata mismatch in ${b.field}:${b.term}")
+      (b.field, b.term, b.numDocs.toLong, b.sumTf)
+    }.toDF("field", "term", "n", "tf")
+    val fromBlocks = perBlock.filter(col("term") =!= "").groupBy("field", "term")
+      .agg(sum("n").as("df2"), sum("tf").as("ttf2"))
+    val bad = fromBlocks.join(termDict, Seq("field", "term"), "full_outer")
+      .filter(col("df2") =!= col("docFreq") || col("ttf2") =!= col("totalTermFreq") ||
+        col("df2").isNull || col("docFreq").isNull)
+      .count()
+    require(bad == 0, s"$bad termDict mismatches")
+    (blocks.count(), perBlock.agg(sum("n")).collect()(0).getLong(0))
+  }
 
   /** Pin the working set in memory for repeated queries (small/medium scale;
     * at cluster scale rely on the parquet layout instead).
@@ -173,6 +254,7 @@ final case class IndexManifest(schema: IndexSchema, fieldStats: Map[String, Fiel
     schema.fields.toSeq.sortBy(_._1).foreach {
       case (n, TextField(a, p)) => sb.append(s"field\t$n\ttext\t$a\t$p\n")
       case (n, KeywordField)    => sb.append(s"field\t$n\tkeyword\t-\t-\n")
+      case (n, NestedField(s))  => sb.append(s"field\t$n\tnested\t$s\t-\n")
     }
     fieldStats.toSeq.sortBy(_._1).foreach { case (n, s) =>
       sb.append(s"stats\t$n\t${s.docCount}\t${s.sumTotalTermFreq}\n")
@@ -191,6 +273,7 @@ object IndexManifest {
         case Array("keys", ks)                  => keys = ks.split(',').toSeq
         case Array("field", n, "text", a, p)    => fields += n -> TextField(a, p.toBoolean)
         case Array("field", n, "keyword", _, _) => fields += n -> KeywordField
+        case Array("field", n, "nested", s, _)  => fields += n -> NestedField(s)
         case Array("stats", n, dc, sttf)        => stats += n -> FieldStats(dc.toLong, sttf.toLong)
         case other => throw new IllegalArgumentException(s"bad manifest line: $line")
       }
@@ -222,8 +305,15 @@ object IndexBuilder {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val docs = prepareDocs(source, schema, parts)
+    // The explicit repartition decouples tokenize parallelism from the docId
+    // window's exchange, which AQE otherwise coalesces to ~64MB partitions —
+    // the tokenize stage is CPU-bound and must run at full width.
+    val docs = prepareDocs(source, schema, parts).repartition(parts)
+    // persist: the stats collection below is an action, and queries reuse
+    // blocks — without this the tokenize+shuffle pipeline would re-execute
+    // per action (the at-scale path, CheckpointedBuild, persists to parquet)
     val blocks = blocksOf(tokensOf(docs, schema), parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termDict = termDictOf(blocks)
     new Index(spark, schema, docs, blocks, termDict, fieldStatsOf(blocks))
   }
@@ -233,7 +323,7 @@ object IndexBuilder {
     var docs = DocIds.assign(source, schema.keyColumns, parts)
     val textFields = schema.fields.collect { case (n, t: TextField) => (n, t) }.toSeq.sortBy(_._1)
     textFields.foreach { case (n, _) =>
-      docs = docs.withColumn(s"__sha256_$n", sha2(col(n).cast(StringType), 256))
+      docs = docs.withColumn(s"__sha256_$n", sha2(Cols.qcol(n).cast(StringType), 256))
     }
     docs
   }
@@ -244,13 +334,17 @@ object IndexBuilder {
     import spark.implicits._
     val fieldPlans: Seq[(String, FieldKind, Analyzer, Boolean)] = schema.fields.toSeq.sortBy(_._1).map {
       case (n, t @ TextField(a, p)) => (n, t, Analyzers.byName(a), p)
-      case (n, KeywordField)        => (n, KeywordField, null, false)
+      case (n, k)                   => (n, k, null, false)
     }
     val indexedCols = fieldPlans.map(_._1)
     val arrayKeyword: Set[String] = indexedCols.filter { c =>
       docs.schema(c).dataType.isInstanceOf[ArrayType]
     }.toSet
-    val inputCols = col("docId") +: indexedCols.map(c => col(c))
+    // pre-split nested component names (once, not per row)
+    val nestedNames: Map[String, Array[String]] = schema.fields.collect {
+      case (n, NestedField(sep)) => n -> n.split(java.util.regex.Pattern.quote(sep))
+    }.toMap
+    val inputCols = col("docId") +: indexedCols.map(Cols.qcol)
 
     docs.select(inputCols: _*).flatMap { row =>
       val docId = row.getLong(0)
@@ -277,6 +371,15 @@ object IndexBuilder {
             val sentinel = TermDoc(name, "", docId, 0, 0, null)
             Iterator.single(sentinel) ++ values.distinct.iterator.map { v =>
               TermDoc(name, v, docId, values.count(_ == v), 0, null)
+            }
+          case NestedField(sep) =>
+            val names = nestedNames(name)
+            val parts = row.getString(ci).split(java.util.regex.Pattern.quote(sep))
+            val k = math.min(names.length, parts.length)
+            (1 to k).iterator.flatMap { i =>
+              val f = names.take(i).mkString(sep)
+              val v = parts.take(i).mkString(sep)
+              Iterator(TermDoc(f, "", docId, 0, 0, null), TermDoc(f, v, docId, 1, 0, null))
             }
         }
       }

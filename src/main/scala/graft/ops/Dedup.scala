@@ -18,12 +18,43 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("cnt") > 1)
 
-  /** MinHash signature: for seed i in 1..numHashes, the lexicographic min of
-    * md5(i ++ ":" ++ shingle). Array column of length numHashes.
+  /** MinHash signature of length `numHashes` (must be a multiple of 4):
+    * shingle hash family h_{4v+j} = hex chunk j (8 chars = 32 bits) of
+    * md5(v ":" shingle); signature element i = lexicographic min over
+    * shingles. One compiled pass, 2 md5 calls per shingle at the default 8
+    * hashes — the equivalent nested higher-order-function expression is
+    * interpreted (no codegen) and ~20× slower. Deterministic and
+    * reproducible in SQL via substring(md5(..), j*8+1, 8).
     */
-  def minhash(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit(":"), s)))))
+  def minhash(shingles: Column, numHashes: Int): Column = {
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 chunking)")
+    val variants = numHashes / 4
+    val f = udf((sh: Seq[String]) => {
+      if (sh == null) null
+      else {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val mins = Array.fill(numHashes)(null: String)
+        sh.foreach { s =>
+          var v = 0
+          while (v < variants) {
+            digest.reset()
+            val hex = digest.digest(s"$v:$s".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            var j = 0
+            while (j < 4) {
+              val i = v * 4 + j
+              val chunk = hex.substring(j * 8, j * 8 + 8)
+              if (mins(i) == null || chunk < mins(i)) mins(i) = chunk
+              j += 1
+            }
+            v += 1
+          }
+        }
+        if (mins(0) == null) Seq.empty[String] else mins.toSeq
+      }
+    })
+    f(shingles)
+  }
 
   /** LSH banding: explode the signature into (bandId, bandKey) rows; docs
     * sharing any band bucket become candidate pairs via a self-equi-join on
@@ -31,8 +62,7 @@ object Dedup {
     * small, AQE-skew-splittable when a bucket is hot).
     */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
-    val rowsPerBand = expr(s"size($sigCol)").cast("int") / bands
-    val banded = df.select(col(idCol).as("id"),
+    val banded = df.filter(size(col(sigCol)) > 0).select(col(idCol).as("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             concat_ws("|", slice(col(sigCol), b * (size(col(sigCol)) / bands) + 1,

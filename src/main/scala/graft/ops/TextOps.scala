@@ -69,13 +69,15 @@ object TextOps {
       alphaRatio.as("alpha_ratio"))
   }
 
-  /** Word n-gram shingles: array of space-joined n-grams. */
+  /** Word n-gram shingles: array of space-joined n-grams. Compiled UDF over
+    * the (codegen'd) token array — the equivalent transform/slice
+    * higher-order expression is interpreted and allocation-heavy.
+    */
   def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))
-    ).otherwise(array())
+    val f = udf((toks: Seq[String]) =>
+      if (toks == null || toks.length < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toSeq)
+    f(tokens(text))
   }
 
   /** k-min-hash document fingerprint: the k lexicographically smallest

@@ -134,6 +134,21 @@ class ConstitutionSpec extends SparkTestBase {
       searcher.docFreq("text", "persons"))
   }
 
+  test("termvector/positionvector/spans golds (test_engine.py:186-195)") {
+    assumeFixture()
+    val amendment4 = 8L + 3L // Preamble + 7 articles, then amendments in order
+    val tv = searcher.termVector(amendment4, "text")
+    assert(tv("persons") === 2)
+    val pv = searcher.positionVector(amendment4, "text")
+    assert(pv("persons").map(_._1) === Seq(10, 48))
+    val pvo = searcher.positionVector(amendment4, "text", offsets = true)
+    assert(pvo("persons") === Seq((46, 53), (301, 308)))
+    val sp = searcher.spans(Near("text", Seq("persons", "papers"), slop = 2, inOrder = true)).collect()
+    assert(sp.length === 1 && sp(0).getLong(0) === amendment4)
+    val spans = sp(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getInt(0), r.getInt(1)))
+    assert(spans === Seq((10, 13)))
+  }
+
   test("complete (test_engine.py:215-221)") {
     assumeFixture()
     assert(searcher.complete("missing", "", 1).collect().isEmpty)

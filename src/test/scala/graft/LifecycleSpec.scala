@@ -1,0 +1,90 @@
+package graft
+
+import graft.exec.Searcher
+import graft.index._
+import graft.query.{Query => Q, _}
+
+/** Index lifecycle: tombstone deletes, segment append (add/update),
+  * multi-index union with docId rebasing, integrity check.
+  */
+class LifecycleSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  def corpus(rows: (String, String, String, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("repo", "path", "commit", "lang", "content")
+  }
+
+  val schema = IndexSchema(
+    keyColumns = Seq("repo", "path", "commit"),
+    fields = Map("content" -> TextField("standard", positions = true), "lang" -> KeywordField))
+
+  lazy val base = IndexBuilder.build(corpus(
+    ("r", "p0", "c", "en", "hello world"),
+    ("r", "p1", "c", "en", "hello spark"),
+    ("r", "p2", "c", "de", "goodbye world")), schema, 2)
+
+  test("delete: tombstones hide docs from queries, stats stay pre-delete") {
+    val s = new Searcher(base)
+    val deleted = s.delete(Term("lang", "en"))
+    assert(deleted.count(Term("content", "hello")) === 0)
+    assert(deleted.count(Term("content", "world")) === 1)
+    assert(deleted.index.numLiveDocs === 1 && deleted.index.numDocs === 3)
+    // docFreq intentionally unchanged until expunge (Lucene pre-merge behavior)
+    assert(deleted.docFreq("content", "hello") === 2)
+    // expunge = filtered rebuild
+    val expunged = new Searcher(deleted.copyIndex(AllDocs))
+    assert(expunged.index.numDocs === 1)
+    assert(expunged.docFreq("content", "hello") === 0)
+  }
+
+  test("append: new segment, contiguous docIds, correct stats; update = delete+append") {
+    val appended = base.append(corpus(("r", "p3", "c", "fr", "hello again world")))
+    val s = new Searcher(appended)
+    assert(appended.numDocs === 4)
+    assert(s.docFreq("content", "hello") === 3)
+    assert(s.docFreq("content", "world") === 3)
+    val ids = appended.docs.select("docId").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(appended.fieldStats("content").sumTotalTermFreq === 2 + 2 + 2 + 3)
+    // update p1: delete then re-add with new content
+    val updated = new Searcher(appended).delete(Term("content", "spark"))
+      .index.append(corpus(("r", "p1", "c2", "en", "updated text spark")))
+    val su = new Searcher(updated)
+    assert(su.search(Term("content", "spark"), 10).collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
+  test("multi-index union rebases docIds without re-encoding blocks") {
+    val other = IndexBuilder.build(corpus(
+      ("x", "q0", "c", "fr", "bonjour world"),
+      ("x", "q1", "c", "fr", "hello monde")), schema, 2)
+    val multi = MultiIndex.union(Seq(base, other))
+    val s = new Searcher(multi)
+    assert(multi.numDocs === 5)
+    assert(s.docFreq("content", "world") === 3)
+    assert(s.docFreq("content", "hello") === 3)
+    val hits = s.search(Term("content", "bonjour"), 10).collect().map(_.getLong(0))
+    assert(hits.toSeq === Seq(3L)) // rebased past base's 3 docs
+    assert(multi.fieldStats("content").docCount === 5)
+    // positions survive rebasing (phrase on the second index's doc)
+    assert(s.count(Q.phrase("content", "hello", "monde")) === 1)
+  }
+
+  test("integrity check passes on a healthy index and counts postings") {
+    val (nBlocks, nPostings) = base.check()
+    assert(nBlocks > 0)
+    assert(nPostings === base.blocks.collect().map(_.numDocs.toLong).sum)
+  }
+
+  test("matchDoc: single-doc ad-hoc scoring (test_engine.py:129-134 shape)") {
+    val s = new Searcher(base)
+    val doc = Map("content" -> "congress shall make no law respecting congress")
+    val scores = s.matchDoc(doc, Seq(
+      Term("content", "absent"),
+      Term("content", "law"),
+      Term("content", "congress")))
+    assert(scores(0) === 0.0)
+    assert(scores(0) < scores(1) && scores(1) <= scores(2) && scores(2) < 1.0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.exec.{Searcher, Wand}
+import graft.fixtures.CodeCorpus
+import graft.index._
+import graft.query.{Query => Q, _}
+
+/** Block-max WAND vs exhaustive scoring: rank- and score-identical top-k,
+  * while provably decoding fewer blocks.
+  */
+class WandSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  lazy val schema = IndexSchema(
+    keyColumns = Seq("repo", "path", "commit"),
+    fields = Map("content" -> TextField("code", positions = true)))
+  lazy val index: Index = IndexBuilder.build(
+    CodeCorpus.generate(spark, 3000, 8), schema, numPartitions = 8).cached()
+  lazy val searcher = new Searcher(index)
+
+  val queries: Seq[Seq[String]] = Seq(
+    Seq("def", "parse"),
+    Seq("the", "return", "index"),
+    Seq("scanhash", "mergebatch", "class"), // rare + hot mix
+    Seq("def", "class", "import", "return", "val"), // all hot
+    Seq("zzz_missing", "parse"))
+
+  def exhaustive(terms: Seq[String], k: Int): Seq[(Long, Long)] = {
+    val prev = searcher.wandEnabled
+    searcher.wandEnabled = false
+    try searcher.search(Q.any(terms.map(Term("content", _)): _*), k).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    finally searcher.wandEnabled = prev
+  }
+
+  test("WAND top-k matches exhaustive scoring exactly") {
+    for (terms <- queries; k <- Seq(1, 10, 100)) {
+      val viaWand = searcher.searchWand("content", terms.map(_ -> 1.0), k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(viaWand === exhaustive(terms, k), s"terms=$terms k=$k")
+    }
+  }
+
+  test("search() auto-routes disjunctions through WAND") {
+    val q = Q.any(Term("content", "def"), Term("content", "parse"))
+    val auto = searcher.search(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(auto === exhaustive(Seq("def", "parse"), 10).map(_._1))
+    // boosts flow into WAND weights
+    val qb = Q.any(Term("content", "def").boost(2.0), Term("content", "parse"))
+    searcher.wandEnabled = false
+    val exh = searcher.search(qb, 10).collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    searcher.wandEnabled = true
+    val wnd = searcher.search(qb, 10).collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(wnd === exh)
+  }
+
+  test("WAND prunes: decodes fewer blocks than exist for small k") {
+    // rare + hot mix: docs lacking the high-idf rare term can't compete, so
+    // hot-term blocks between rare-term docs are skipped undecoded.
+    // (All-hot disjunctions correctly prune nothing: every block competes.)
+    val st = index.fieldStats("content")
+    val rare = index.termDict.filter(col("field") === "content" && col("term").startsWith("scan") &&
+        col("term") =!= "scan")
+      .orderBy(col("docFreq").asc).limit(1).collect()(0).getString(1)
+    val terms = Seq(rare, "def", "class", "import", "return")
+    val stats = searcher.termStats("content", terms)
+    val termBlocks = terms.map { t =>
+      val w = graft.exec.Bm25.idf(st.docCount, stats(t)._1)
+      (w, index.blocks.filter(col("term") === t).collect())
+    }
+    val totalBlocks = termBlocks.map(_._2.length).sum
+    val (top, decoded) = Wand.topkPartition(termBlocks, st.avgdl, 1)
+    assert(top.length === 1)
+    assert(decoded < totalBlocks, s"decoded $decoded of $totalBlocks")
+    // and the pruned result still matches exhaustive
+    assert(top.map(_._1).toSeq === exhaustive(terms, 1).map(_._1))
+  }
+}
