@@ -55,12 +55,17 @@ class Searcher(val index: Index) extends Serializable {
 
   // ---------------------------------------------------------------- postings
 
-  /** Decode posting blocks for one (field, term) → Dataset[Posting]. */
+  /** Decode posting blocks for one (field, term) → Dataset[Posting].
+    * The scoring path projects away `positionsBlob` (often the widest
+    * column) before deserialization, so parquet never reads it.
+    */
   def postings(field: String, term: String, withPositions: Boolean = false): Dataset[Posting] = {
-    val wp = withPositions
-    index.blocks
-      .filter(col("field") === field && col("term") === term)
-      .flatMap(b => PostingCodec.decodeBlock(b, wp))
+    val filtered = index.blocks.filter(col("field") === field && col("term") === term)
+    if (withPositions) filtered.flatMap(b => PostingCodec.decodeBlock(b, withPositions = true))
+    else filtered
+      .select(col("firstDocId"), col("numDocs"), col("docsBlob"), col("freqsBlob"), col("normsBlob"))
+      .as[(Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (f, n, d, fr, no) => PostingCodec.decodeScore(f, n, d, fr, no) }
   }
 
   /** docFreq fast path: O(dictionary lookup), no postings scan
@@ -334,7 +339,14 @@ class Searcher(val index: Index) extends Serializable {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     index.blocks
       .filter(col("field") === field && col("term").isin(weights.map(_._1).distinct: _*))
+      // scoring never needs positions: drop the widest blob before the shuffle
+      .select(col("term"), col("firstDocId"), col("lastDocId"), col("numDocs"),
+        col("maxTf"), col("sumTf"), col("minDlq"),
+        col("docsBlob"), col("freqsBlob"), col("normsBlob"))
       .repartition(parts, shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift))
+      .as[(String, Long, Long, Int, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .map(t => graft.index.PostingBlock("", t._1, t._2, t._3, t._4, t._5, t._6, t._7,
+        t._8, t._9, t._10, Array.empty[Byte]))
       .mapPartitions { it =>
         val byTerm = it.toArray.groupBy(_.term)
         val termBlocks = wts.map { case (t, w) => (w, byTerm.getOrElse(t, Array.empty)) }
@@ -378,7 +390,9 @@ class Searcher(val index: Index) extends Serializable {
     */
   def docTerms(field: String): DataFrame =
     index.blocks.filter(col("field") === field && col("term") =!= "")
-      .flatMap(b => PostingCodec.decodeBlock(b, withPositions = false).map(p => (b.term, p.docId)))
+      .select(col("term"), col("firstDocId"), col("numDocs"), col("docsBlob"))
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, f, n, d) => PostingCodec.decodeDocIds(f, n, d).map(t -> _) }
       .toDF("value", "docId")
 
   /** docId → field value, preferring the doc-store column, else the index. */

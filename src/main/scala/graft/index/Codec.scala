@@ -131,6 +131,35 @@ object PostingCodec {
   def encodeRun(field: String, term: String, postings: Iterator[Posting]): Iterator[PostingBlock] =
     postings.grouped(BlockSize).map(g => encodeBlock(field, term, g))
 
+  /** Decode the scoring columns only (docIds, tfs, norms) — callers project
+    * away `positionsBlob` so the parquet scan never reads it.
+    */
+  def decodeScore(firstDocId: Long, numDocs: Int, docsBlob: Array[Byte],
+      freqsBlob: Array[Byte], normsBlob: Array[Byte]): Array[Posting] = {
+    val docs = new VByte.Reader(docsBlob)
+    val freqs = new VByte.Reader(freqsBlob)
+    val norms = new VByte.Reader(normsBlob)
+    val out = new Array[Posting](numDocs)
+    var doc = firstDocId
+    var i = 0
+    while (i < numDocs) {
+      doc += docs.readLong()
+      out(i) = Posting(doc, freqs.readInt(), norms.readInt(), null)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode only the docIds of a block (facet/docvalue reconstruction). */
+  def decodeDocIds(firstDocId: Long, numDocs: Int, docsBlob: Array[Byte]): Array[Long] = {
+    val docs = new VByte.Reader(docsBlob)
+    val out = new Array[Long](numDocs)
+    var doc = firstDocId
+    var i = 0
+    while (i < numDocs) { doc += docs.readLong(); out(i) = doc; i += 1 }
+    out
+  }
+
   /** Decode a block. `withPositions=false` skips position materialization. */
   def decodeBlock(b: PostingBlock, withPositions: Boolean): Array[Posting] = {
     val docs = new VByte.Reader(b.docsBlob)
