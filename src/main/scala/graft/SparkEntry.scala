@@ -43,6 +43,21 @@ object SparkEntry {
   /** Drop memoized searchers (benchmarks recreate SparkSessions). */
   def clearCache(): Unit = cache.clear()
 
+  /** Secondary corpus: the events table indexed on event_type with ts/value
+    * docvalues (exercises numeric/calendar ranges on a non-text table).
+    */
+  val eventsSchema: IndexSchema = IndexSchema(
+    keyColumns = Seq("event_id"),
+    fields = Map("event_type" -> KeywordField))
+
+  def eventsSearcher(spark: SparkSession, sfDir: String): Searcher =
+    cache.getOrElseUpdate(s"$sfDir#events", {
+      val src = spark.read.parquet(s"$sfDir/events.parquet")
+      val idx = IndexBuilder.build(src, eventsSchema).cached()
+      idx.blocks.count()
+      new Searcher(idx)
+    })
+
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     cache.getOrElseUpdate(sfDir, {
       val idx = IndexBuilder.build(corpus(spark, sfDir), schema).cached()
@@ -176,6 +191,19 @@ object SparkEntry {
         .collect()(0).getSeq[Float](0)
       graft.ops.Ann.topkBrute(emb, "vec_id", "embedding", qv, 10)
         .select(col("vec_id"), qz(col("cos")).as("cos_q"))
+    }),
+    "q_events_facets" -> ((sp, dir) => {
+      // calendar window: 2024-01-10 +5 days inclusive (DateTimeField.duration)
+      val q = DateTimeRanges.duration("ts",
+        java.time.LocalDateTime.of(2024, 1, 10, 0, 0), days = 5)
+      eventsSearcher(sp, dir).facets(q, "event_type")
+    }),
+    "q_events_range_topk" -> ((sp, dir) => {
+      val q = DateTimeRanges.duration("ts",
+        java.time.LocalDateTime.of(2024, 1, 10, 0, 0), days = 5)
+      eventsSearcher(sp, dir)
+        .search(q, 10, sorts = Seq(SortSpec("value", descending = true)), select = Seq("event_id"))
+        .select(col("event_id"), qz(col("value")).as("value_q"))
     }),
     "q_ann_lsh" -> ((sp, dir) => {
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
@@ -377,6 +405,19 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jacc_q
          |FROM jac WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
+    "q_events_facets" -> {
+      val lo = DateTimeRanges.timestamp(Seq(2024, 1, 10))
+      val hi = lo + 5 * 86400
+      s"""SELECT event_type, count(*) AS cnt FROM events
+         |WHERE epoch(ts) >= $lo AND epoch(ts) <= $hi GROUP BY 1""".stripMargin
+    },
+    "q_events_range_topk" -> {
+      val lo = DateTimeRanges.timestamp(Seq(2024, 1, 10))
+      val hi = lo + 5 * 86400
+      s"""SELECT event_id, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_q FROM events
+         |WHERE epoch(ts) >= $lo AND epoch(ts) <= $hi
+         |ORDER BY value DESC, event_id ASC LIMIT 10""".stripMargin
+    },
     "q_ann_topk" -> {
       val dot = (a: String, b: String) =>
         s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"

@@ -87,6 +87,19 @@ class Searcher(val index: Index) extends Serializable {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
 
+  /** Numeric docvalue view of a column: timestamps (incl. NTZ, read as UTC —
+    * the session timezone) become epoch seconds, matching the reference's
+    * DateTimeField timestamp points.
+    */
+  private def numericCol(f: String): Column = {
+    import org.apache.spark.sql.types._
+    val c = graft.index.Cols.qcol(f)
+    index.docs.schema(f).dataType match {
+      case TimestampNTZType => c.cast(TimestampType).cast("double")
+      case _                => c.cast("double")
+    }
+  }
+
   private def emptyMatches: DataFrame =
     spark.range(0).select(col("id").as("docId"), lit(0.0).as("score"))
 
@@ -138,10 +151,10 @@ class Searcher(val index: Index) extends Serializable {
       constantOverTerms(f, levenshtein(col("term"), lit(t)) <= maxEdits, 1.0)
 
     case Points(f, vs) =>
-      index.docs.filter(col(f).cast("double").isin(vs: _*))
+      index.docs.filter(numericCol(f).isin(vs: _*))
         .select(col("docId"), lit(1.0).as("score"))
     case NumRanges(f, intervals, il, iu) =>
-      val c = col(f).cast("double")
+      val c = numericCol(f)
       val cond = intervals.map { case (lo, hi) =>
         val parts = Seq(
           lo.map(v => if (il) c >= v else c > v),
@@ -642,6 +655,16 @@ class Searcher(val index: Index) extends Serializable {
     val parsed = new QueryParser(field, index.schema.analyzerFor(field), op).parse(q)
     if (spellcheck) respell(parsed) else parsed
   }
+
+  /** Multi-field parse with per-field boosts (Analyzer.parse fields/boosts
+    * variant, analyzers.py:140-150): the query matches in any field, scores
+    * summing across fields.
+    */
+  def parseMultiField(q: String, fieldBoosts: Map[String, Double], op: String = "or"): Query =
+    Query.any(fieldBoosts.toSeq.sortBy(_._1).map { case (f, b) =>
+      val sub = parse(q, f, op)
+      if (b == 1.0) sub else Boost(sub, b)
+    }: _*)
 
   private def respell(q: Query): Query = q match {
     case Term(f, t) if docFreq(f, t) == 0 =>
