@@ -102,5 +102,6 @@ object Analyzers {
   )
 
   val byName: Map[String, Analyzer] =
-    Map("standard" -> standard, "whitespace" -> whitespace, "code" -> code)
+    Map("standard" -> standard, "whitespace" -> whitespace, "code" -> code,
+      "porter" -> StemmingAnalyzer)
 }

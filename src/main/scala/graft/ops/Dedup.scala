@@ -33,17 +33,24 @@ object Dedup {
       if (sh == null) null
       else {
         val digest = java.security.MessageDigest.getInstance("MD5")
+        val hexTable = "0123456789abcdef".toCharArray
         val mins = Array.fill(numHashes)(null: String)
+        val hexBuf = new Array[Char](32)
         sh.foreach { s =>
           var v = 0
           while (v < variants) {
             digest.reset()
-            val hex = digest.digest(s"$v:$s".getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
+            val bytes = digest.digest(s"$v:$s".getBytes("UTF-8"))
+            var b = 0
+            while (b < 16) {
+              hexBuf(b * 2) = hexTable((bytes(b) >> 4) & 0xf)
+              hexBuf(b * 2 + 1) = hexTable(bytes(b) & 0xf)
+              b += 1
+            }
             var j = 0
             while (j < 4) {
               val i = v * 4 + j
-              val chunk = hex.substring(j * 8, j * 8 + 8)
+              val chunk = new String(hexBuf, j * 8, 8)
               if (mins(i) == null || chunk < mins(i)) mins(i) = chunk
               j += 1
             }
