@@ -389,11 +389,12 @@ object IndexBuilder {
   /** Salted, block-aligned postings build: one shuffle, streaming encoder,
     * memory bounded by one 128-posting block.
     */
-  def blocksOf(tokens: Dataset[TermDoc], parts: Int): Dataset[PostingBlock] = {
+  def blocksOf(tokens: Dataset[TermDoc], parts: Int,
+      saltShift: Int = SaltShift): Dataset[PostingBlock] = {
     val spark = tokens.sparkSession
     import spark.implicits._
     tokens
-      .repartition(parts, col("field"), col("term"), shiftrightunsigned(col("docId"), SaltShift))
+      .repartition(parts, col("field"), col("term"), shiftrightunsigned(col("docId"), saltShift))
       .sortWithinPartitions("field", "term", "docId")
       .mapPartitions(rows => blockify(rows))
   }

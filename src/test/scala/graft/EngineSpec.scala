@@ -187,6 +187,11 @@ class EngineSpec extends SparkTestBase {
     assert(q === Q.any(Term("content", "hello")))
   }
 
+  test("driver entry point returns rows on sf0.001") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists)
+    assert(SparkEntry.entry(spark).collect().nonEmpty)
+  }
+
   test("top-k is a prefix of the full ranking") {
     val all = searcher.search(Term("content", "world") | Term("content", "hello"), 0).collect().map(_.getLong(0))
     val top2 = searcher.search(Term("content", "world") | Term("content", "hello"), 2).collect().map(_.getLong(0))

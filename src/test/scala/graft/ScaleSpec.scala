@@ -69,6 +69,22 @@ class ScaleSpec extends SparkTestBase {
     refQueries.foreach { q => assert(topk(s2, q) === topk(sMem, q), s"query $q") }
   }
 
+  test("salt-invariance: different salt shifts give identical postings semantics") {
+    // FIXTURES.md §1 property: the salted build must be a pure parallelism
+    // knob — decoded postings (and thus all query results) are independent
+    // of the salt granularity.
+    val docs = IndexBuilder.prepareDocs(corpus, schema, 4)
+    def decodedPostings(shift: Int): Seq[(String, String, Long, Int)] =
+      IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, schema), 4, saltShift = shift)
+        .collect()
+        .flatMap(b => PostingCodec.decodeBlock(b, withPositions = false)
+          .map(p => (b.field, b.term, p.docId, p.tf)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+    val a = decodedPostings(3) // 8-doc buckets: hot terms split across many blocks
+    val b = decodedPostings(13)
+    assert(a === b)
+  }
+
   test("partition-count invariance: results identical at 2 vs 8 partitions") {
     val a = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 2))
     val b = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 8))
