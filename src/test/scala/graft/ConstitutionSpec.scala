@@ -200,6 +200,17 @@ class ConstitutionSpec extends SparkTestBase {
     assert(out === "word <b>right</b> word")
   }
 
+  test("batch highlights on hits (test_engine.py:593-597)") {
+    assumeFixture()
+    val q = Term("text", "right")
+    val hl = searcher.search(q, 0, select = Seq("text"))
+      .withColumn("hl", searcher.highlightCol(q, "text"))
+      .collect()
+    assert(hl.length === 13)
+    // original-case term wrapped (reference wraps the stored text verbatim)
+    hl.foreach(r => assert(r.getAs[String]("hl").toLowerCase.contains("<b>right</b>")))
+  }
+
   test("parser: default OR vs op=and (test_engine.py:103)") {
     assumeFixture()
     assert(searcher.count(searcher.parse("text:right people", "text")) > 0)
