@@ -85,11 +85,32 @@ final case class PostingBlock(
 /** One decoded posting entry. */
 final case class Posting(docId: Long, tf: Int, dlq: Int, positions: Array[Int])
 
+/** One raw posting as it flows through the build shuffle: positions are
+  * ALREADY delta-VByte-encoded by the tokenize pass (first delta absolute),
+  * so the block encoder just concatenates them — the shuffle carries compact
+  * bytes, not int arrays.
+  */
+final case class RawPosting(docId: Long, tf: Int, dlq: Int, posBlob: Array[Byte])
+
 object PostingCodec {
   val BlockSize = 128
 
-  /** Encode one ≤BlockSize run of postings (ascending docId) into a block. */
-  def encodeBlock(field: String, term: String, run: Seq[Posting]): PostingBlock = {
+  /** Delta-VByte-encode an ascending position list (first delta absolute). */
+  def encodePositions(positions: Array[Int]): Array[Byte] = {
+    if (positions == null || positions.isEmpty) return Array.empty
+    val out = new ArrayBuffer[Byte](positions.length + 2)
+    var prev = 0
+    var j = 0
+    while (j < positions.length) {
+      VByte.writeInt(positions(j) - prev, out)
+      prev = positions(j)
+      j += 1
+    }
+    out.toArray
+  }
+
+  /** Encode one ≤BlockSize run of raw postings (ascending docId). */
+  def encodeRaw(field: String, term: String, run: Seq[RawPosting]): PostingBlock = {
     require(run.nonEmpty && run.length <= BlockSize)
     val docs = new ArrayBuffer[Byte](run.length * 2)
     val freqs = new ArrayBuffer[Byte](run.length)
@@ -107,15 +128,7 @@ object PostingCodec {
       prevDoc = p.docId
       VByte.writeInt(p.tf, freqs)
       VByte.writeInt(p.dlq, norms)
-      if (p.positions != null && p.positions.nonEmpty) {
-        var prevPos = 0
-        var j = 0
-        while (j < p.positions.length) {
-          VByte.writeInt(p.positions(j) - prevPos, poss)
-          prevPos = p.positions(j)
-          j += 1
-        }
-      }
+      if (p.posBlob != null) poss ++= p.posBlob
       if (p.tf > maxTf) maxTf = p.tf
       sumTf += p.tf
       if (p.dlq < minDlq) minDlq = p.dlq
@@ -124,6 +137,11 @@ object PostingCodec {
     PostingBlock(field, term, run.head.docId, run.last.docId, run.length, maxTf, sumTf, minDlq,
       docs.toArray, freqs.toArray, norms.toArray, poss.toArray)
   }
+
+  /** Encode from decoded postings (tests/small paths). */
+  def encodeBlock(field: String, term: String, run: Seq[Posting]): PostingBlock =
+    encodeRaw(field, term,
+      run.map(p => RawPosting(p.docId, p.tf, p.dlq, encodePositions(p.positions))))
 
   /** Split an ascending posting iterator for one (field, term) run into
     * encoded blocks of BlockSize.

@@ -96,13 +96,32 @@ object DocIds {
     }
     val keyed = df.withColumn("__key", concat_ws("\u0000", sortable: _*))
 
-    // fixed boundaries from one deterministic driver-side sample
-    val total = keyed.count()
-    val targetSample = math.min(numPartitions.toLong * 200L, 1000000L)
-    val fraction = if (total == 0) 1.0 else math.min(1.0, targetSample.toDouble / total)
-    val sampled = keyed.select($"__key")
-      .sample(withReplacement = false, fraction, seed = 42L)
-      .collect().map(_.getString(0)).sortWith(byteLess)
+    // fixed boundaries from ONE deterministic pass: each input partition
+    // returns its row count + a stride-decimated key sample (deterministic —
+    // no RNG, no re-sampling across jobs; one source scan instead of the
+    // count + sample pair)
+    val cap = 512
+    val perPart = keyed.select($"__key").as[String].mapPartitions { it =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var stride = 1L
+      var seen = 0L
+      var next = 0L
+      it.foreach { k =>
+        if (seen == next) {
+          if (buf.length >= cap) { // decimate: keep every other, double stride
+            val kept = buf.grouped(2).map(_.head).toArray
+            buf.clear(); buf ++= kept
+            stride *= 2
+          }
+          buf += k
+          next = seen + stride
+        }
+        seen += 1
+      }
+      Iterator.single((seen, buf.toArray))
+    }.collect()
+    val total = perPart.map(_._1).sum
+    val sampled = perPart.flatMap(_._2).sortWith(byteLess)
     val boundaries: Array[String] =
       if (sampled.isEmpty || numPartitions <= 1) Array.empty
       else (1 until numPartitions)
@@ -284,9 +303,11 @@ object IndexManifest {
 
 object IndexBuilder {
 
-  /** One (field, term, doc) occurrence row — the unit that shuffles. */
+  /** One (field, term, doc) occurrence row — the unit that shuffles.
+    * Positions ship pre-delta-VByte-encoded (compact bytes, not int arrays).
+    */
   final case class TermDoc(field: String, term: String, docId: Long, freq: Int, dlq: Int,
-      positions: Array[Int])
+      posBlob: Array[Byte])
 
   /** Docs-per-salt-bucket shift: posting blocks never span a bucket, so a hot
     * term's postings build in parallel across `numDocs / 2^shift` tasks with
@@ -362,7 +383,8 @@ object IndexBuilder {
             }
             val sentinel = TermDoc(name, "", docId, 0, dlq, null)
             Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ps) =>
-              TermDoc(name, term, docId, ps.length, dlq, if (withPos) ps.toArray else null)
+              TermDoc(name, term, docId, ps.length, dlq,
+                if (withPos) PostingCodec.encodePositions(ps.toArray) else null)
             }
           case KeywordField =>
             val values: Seq[String] =
@@ -420,13 +442,13 @@ object IndexBuilder {
       override def next(): PostingBlock = {
         val f = cur.field
         val t = cur.term
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Posting]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[RawPosting]
         while (cur != null && buf.length < PostingCodec.BlockSize &&
             cur.field == f && cur.term == t) {
-          buf += Posting(cur.docId, cur.freq, cur.dlq, cur.positions)
+          buf += RawPosting(cur.docId, cur.freq, cur.dlq, cur.posBlob)
           cur = if (rows.hasNext) rows.next() else null
         }
-        PostingCodec.encodeBlock(f, t, buf.toSeq)
+        PostingCodec.encodeRaw(f, t, buf.toSeq)
       }
     }
 
