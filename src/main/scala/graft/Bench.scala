@@ -60,6 +60,10 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Locale-independent fixed-point formatting (JSON must not localize). */
+  private def num(v: Double, digits: Int = 4): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   private def pct(xs: Seq[Double], p: Double): Double = {
     val s = xs.sorted
     s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
@@ -96,19 +100,19 @@ object Bench {
 
     val total = cold.map(_._2).sum
     def fmtMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")
+      m.map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val warmVals = warm.map(_._2)
     val json = new StringBuilder
-    json.append(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec"""")
+    json.append(s"""{"metric":"total","value":${num(total)},"unit":"sec"""")
     json.append(s""","queries":${fmtMap(cold)}""")
     json.append(s""","warm_queries":${fmtMap(warm)}""")
-    json.append(s""","warm_p50_sec":${f"${pct(warmVals, 0.5)}%.4f"},"warm_p99_sec":${f"${pct(warmVals, 0.99)}%.4f"}""")
-    json.append(s""","index_build_sec":${f"$buildSec%.4f"}""")
+    json.append(s""","warm_p50_sec":${num(pct(warmVals, 0.5))},"warm_p99_sec":${num(pct(warmVals, 0.99))}""")
+    json.append(s""","index_build_sec":${num(buildSec)}""")
     if (doScaling) {
       json.append(s""","build_docs":$benchDocs""")
-      json.append(s""","build_docs_per_sec_local$scaleN":${f"$rate8%.1f"}""")
-      json.append(s""","build_docs_per_sec_local${scaleN * 4}":${f"$rate32%.1f"}""")
-      json.append(s""","scaling_efficiency_${scaleN}_to_${scaleN * 4}":${f"$eff%.3f"}""")
+      json.append(s""","build_docs_per_sec_local$scaleN":${num(rate8, 1)}""")
+      json.append(s""","build_docs_per_sec_local${scaleN * 4}":${num(rate32, 1)}""")
+      json.append(s""","scaling_efficiency_${scaleN}_to_${scaleN * 4}":${num(eff, 3)}""")
     }
     json.append(s""","sf":"$sfDir"}""")
     println(json.toString)

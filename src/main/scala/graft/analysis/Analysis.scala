@@ -33,6 +33,11 @@ trait Analyzer extends Serializable {
 
   /** Terms only (allocation-light path for length counting). */
   def terms(text: String): IndexedSeq[String] = tokens(text).map(_.term)
+
+  /** The text view token offsets refer to (identity unless the analyzer
+    * rewrites before tokenizing, like the code analyzer's camelCase split).
+    */
+  def preprocess(text: String): String = text
 }
 
 /** Regex-driven analyzer: extract matches of `pattern`, optionally lowercase.
@@ -47,6 +52,8 @@ final class RegexAnalyzer(
     pre: String => String = identity
 ) extends Analyzer {
   @transient private lazy val pattern: Pattern = Pattern.compile(patternStr)
+
+  override def preprocess(text: String): String = pre(text)
 
   override def tokens(text: String): IndexedSeq[Token] = {
     val t = pre(text)

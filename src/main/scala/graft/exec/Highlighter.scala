@@ -51,7 +51,9 @@ object Highlighter {
     val keep = scored.filter(_._3 > 0).sortBy(-_._3).take(maxPassages).sortBy(_._1)
     if (keep.isEmpty) return ""
     keep.map { case (a, b, _) =>
-      val seg = text.substring(a, b)
+      // token offsets refer to the analyzer's preprocessed view of the text
+      // (identical for plain analyzers; camelCase-split for the code one)
+      val seg = analyzer.preprocess(text.substring(a, b))
       val toks = analyzer.tokens(seg).filter(t => terms.contains(t.term))
       val sb = new java.lang.StringBuilder
       var last = 0

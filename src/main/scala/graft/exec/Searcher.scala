@@ -122,7 +122,7 @@ class Searcher(val index: Index) extends Serializable {
     case Bool(clauses) => evalBool(clauses)
 
     case DisMax(tie, qs) =>
-      val parts = qs.map(eval)
+      val parts = qs.map(evalInner)
       if (parts.isEmpty) emptyMatches
       else parts.reduce(_ unionAll _)
         .groupBy("docId")
@@ -166,8 +166,8 @@ class Searcher(val index: Index) extends Serializable {
     case AllDocs => index.docs.select(col("docId"), lit(1.0).as("score"))
     case NoDocs  => emptyMatches
 
-    case Boost(sub, v) => eval(sub).select(col("docId"), (col("score") * v).as("score"))
-    case Constant(sub) => eval(sub).select(col("docId"), lit(1.0).as("score"))
+    case Boost(sub, v) => evalInner(sub).select(col("docId"), (col("score") * v).as("score"))
+    case Constant(sub) => evalInner(sub).select(col("docId"), lit(1.0).as("score"))
   }
 
   private def evalTerm(field: String, term: String, boost: Double): DataFrame = {
@@ -201,9 +201,11 @@ class Searcher(val index: Index) extends Serializable {
           index.blocks.filter(col("field") === field)
             .join(broadcastIfSmall(termsDf), Seq("term"), "left_semi")
     }
-    matchedDocs.as[graft.index.PostingBlock]
-      .flatMap(b => PostingCodec.decodeBlock(b, withPositions = false))
-      .select("docId").distinct()
+    matchedDocs
+      .select(col("firstDocId"), col("numDocs"), col("docsBlob"))
+      .as[(Long, Int, Array[Byte])]
+      .flatMap { case (f, n, d) => PostingCodec.decodeDocIds(f, n, d) }
+      .toDF("docId").distinct()
       .select(col("docId"), lit(boost).as("score"))
   }
 
@@ -228,7 +230,7 @@ class Searcher(val index: Index) extends Serializable {
     if (clauses.isEmpty) return emptyMatches
     val numRequired = clauses.count(c => c._1 == Occur.Must || c._1 == Occur.Filter)
     val parts = clauses.map { case (occur, sub) =>
-      val m = eval(sub)
+      val m = evalInner(sub)
       occur match {
         case Occur.Should  => m.select(col("docId"), col("score"), lit(0L).as("m"), lit(0L).as("n"))
         case Occur.Must    => m.select(col("docId"), col("score"), lit(1L).as("m"), lit(0L).as("n"))

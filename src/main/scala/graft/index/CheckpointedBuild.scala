@@ -86,8 +86,7 @@ object CheckpointedBuild {
     }
     val termDict = spark.read.parquet(termDictDir)
     val stats = IndexBuilder.fieldStatsOf(blocks)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/manifest"),
-      IndexManifest(schema, stats).serialize)
+    IndexManifest.write(spark, s"$dir/manifest", IndexManifest(schema, stats))
     new Index(spark, schema, docs, blocks, termDict, stats)
   }
 

@@ -194,7 +194,10 @@ final class Index(
     * (IndexWriter.add / __iadd__, indexers.py:559-561,588-592).
     */
   def append(rows: DataFrame): Index = {
-    val offset = docs.agg(max(col("docId"))).collect()(0).getLong(0) + 1
+    // round up to a salt-bucket multiple: rebased blocks must stay
+    // bucket-aligned or WAND's co-partitioning splits docs across partitions
+    val maxId = docs.agg(max(col("docId"))).collect()(0).getLong(0)
+    val offset = IndexBuilder.nextBucketStart(maxId + 1)
     val seg = IndexBuilder.build(rows, schema)
     val segDocs = seg.docs.withColumn("docId", col("docId") + offset)
     import spark.implicits._
@@ -260,8 +263,7 @@ final class Index(
     termDict.repartitionByRange(col("field"), col("term"))
       .sortWithinPartitions("field", "term")
       .write.mode("overwrite").parquet(s"$dir/termdict")
-    val manifest = IndexManifest(schema, fieldStats)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/manifest"), manifest.serialize)
+    IndexManifest.write(spark, s"$dir/manifest", IndexManifest(schema, fieldStats))
   }
 }
 
@@ -283,6 +285,22 @@ final case class IndexManifest(schema: IndexSchema, fieldStats: Map[String, Fiel
 }
 
 object IndexManifest {
+
+  /** Hadoop-FS-aware manifest IO (works for local, HDFS, object stores). */
+  def write(spark: SparkSession, path: String, m: IndexManifest): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.serialize.getBytes("UTF-8")) finally out.close()
+  }
+
+  def read(spark: SparkSession, path: String): IndexManifest = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parse(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  }
+
   def parse(text: String): IndexManifest = {
     var keys = Seq.empty[String]
     val fields = Map.newBuilder[String, FieldKind]
@@ -316,6 +334,21 @@ object IndexBuilder {
     * requires for terms like `the`/`import`/`return`.
     */
   val SaltShift = 13
+
+  /** First docId of the next salt bucket at or after `id` — segment offsets
+    * must be bucket multiples so rebased blocks stay bucket-aligned (docIds
+    * then have a gap of < 2^SaltShift at each appended-segment boundary).
+    */
+  def nextBucketStart(id: Long): Long = {
+    val bucket = 1L << SaltShift
+    ((id + bucket - 1) / bucket) * bucket
+  }
+
+  /** Column form of [[nextBucketStart]]. */
+  def nextBucketStartCol(id: _root_.org.apache.spark.sql.Column): _root_.org.apache.spark.sql.Column = {
+    val bucket = 1L << SaltShift
+    (id + (bucket - 1)).divide(bucket).cast("long") * bucket
+  }
 
   /** Build an index from a source DataFrame. One tokenize pass; one shuffle
     * for postings; termDict and stats derive from the compressed blocks.
@@ -413,12 +446,16 @@ object IndexBuilder {
     */
   def blocksOf(tokens: Dataset[TermDoc], parts: Int,
       saltShift: Int = SaltShift): Dataset[PostingBlock] = {
+    // finer-than-default shifts nest inside the WAND routing buckets;
+    // coarser ones would let blocks straddle them
+    require(saltShift <= SaltShift, s"saltShift $saltShift > $SaltShift")
+    val shift = saltShift
     val spark = tokens.sparkSession
     import spark.implicits._
     tokens
-      .repartition(parts, col("field"), col("term"), shiftrightunsigned(col("docId"), saltShift))
+      .repartition(parts, col("field"), col("term"), shiftrightunsigned(col("docId"), shift))
       .sortWithinPartitions("field", "term", "docId")
-      .mapPartitions(rows => blockify(rows))
+      .mapPartitions(rows => blockify(rows, shift))
   }
 
   def termDictOf(blocks: Dataset[PostingBlock]): DataFrame =
@@ -436,15 +473,26 @@ object IndexBuilder {
 
   /** Group a (field, term, docId)-sorted iterator into encoded blocks. */
   def blockify(rows: Iterator[TermDoc]): Iterator[PostingBlock] =
+    blockify(rows, SaltShift)
+
+  /** Blocks are additionally CUT at salt-bucket boundaries: a build partition
+    * can hold several buckets of the same term (hash collisions), and the
+    * WAND evaluator co-partitions blocks by `firstDocId >>> SaltShift` — a
+    * block straddling buckets would split a doc's per-term scores across
+    * partitions. Bucket-aligned cuts make bucket(firstDocId) identify ALL
+    * docs in the block.
+    */
+  def blockify(rows: Iterator[TermDoc], saltShift: Int): Iterator[PostingBlock] =
     new scala.collection.AbstractIterator[PostingBlock] {
       private var cur: TermDoc = if (rows.hasNext) rows.next() else null
       override def hasNext: Boolean = cur != null
       override def next(): PostingBlock = {
         val f = cur.field
         val t = cur.term
+        val bucket = cur.docId >>> saltShift
         val buf = scala.collection.mutable.ArrayBuffer.empty[RawPosting]
         while (cur != null && buf.length < PostingCodec.BlockSize &&
-            cur.field == f && cur.term == t) {
+            cur.field == f && cur.term == t && (cur.docId >>> saltShift) == bucket) {
           buf += RawPosting(cur.docId, cur.freq, cur.dlq, cur.posBlob)
           cur = if (rows.hasNext) rows.next() else null
         }
@@ -454,8 +502,7 @@ object IndexBuilder {
 
   def load(spark: SparkSession, dir: String): Index = {
     import spark.implicits._
-    val manifest = IndexManifest.parse(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/manifest")))
+    val manifest = IndexManifest.read(spark, s"$dir/manifest")
     new Index(
       spark,
       manifest.schema,

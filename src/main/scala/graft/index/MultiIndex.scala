@@ -15,7 +15,9 @@ object MultiIndex {
     require(indexes.map(_.schema).distinct.size == 1, "indexes must share a schema")
     val spark = indexes.head.spark
     import spark.implicits._
-    val sizes = indexes.map(_.docs.agg(max(col("docId"))).collect()(0).getLong(0) + 1)
+    // bucket-aligned sizes keep rebased blocks WAND-co-partitionable
+    val sizes = indexes.map(ix =>
+      IndexBuilder.nextBucketStart(ix.docs.agg(max(col("docId"))).collect()(0).getLong(0) + 1))
     val offsets = sizes.scanLeft(0L)(_ + _)
     val docs = indexes.zip(offsets).map { case (ix, off) =>
       ix.docs.withColumn("docId", col("docId") + off)

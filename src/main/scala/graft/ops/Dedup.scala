@@ -100,16 +100,36 @@ object Dedup {
 
   /** SimHash (bitwise majority of per-token hash bits): md5's first
     * `bits/4` hex chars give the bit source; bit b of the result is 1 when
-    * more tokens have bit b set than not. Default 16 bits keeps the oracle
-    * SQL tractable; production would widen to 64 via xxhash64.
+    * more tokens have bit b set than not. Single compiled pass, ONE md5 per
+    * token occurrence (the expression form re-hashed per bit). Default 16
+    * bits keeps the oracle SQL tractable; production would widen to 64.
     */
   def simhash(toks: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 32 && bits % 4 == 0)
     val hexDigits = bits / 4
-    val h = (t: Column) => conv(substring(md5(t), 1, hexDigits), 16, 10).cast("long")
-    (0 until bits).map { b =>
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(h(t), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    val f = udf((ts: Seq[String]) => {
+      val votes = new Array[Int](bits)
+      if (ts != null) {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        ts.foreach { t =>
+          digest.reset()
+          val bs = digest.digest(t.getBytes("UTF-8"))
+          var h = 0L
+          var i = 0
+          while (i < hexDigits) { // first hexDigits hex chars = high nibbles first
+            val nib = if (i % 2 == 0) (bs(i / 2) >> 4) & 0xf else bs(i / 2) & 0xf
+            h = (h << 4) | nib
+            i += 1
+          }
+          var b = 0
+          while (b < bits) {
+            votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+      }
+      (0 until bits).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    })
+    f(toks)
   }
 }

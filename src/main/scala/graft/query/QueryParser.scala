@@ -49,7 +49,7 @@ final class QueryParser(defaultField: String, analyzer: Analyzer, op: String = "
         j += 1
         val st = j
         while (j < n && (s(j).isDigit || s(j) == '.')) j += 1
-        (s.substring(st, j).toDouble, j)
+        (s.substring(st, j).toDoubleOption.getOrElse(1.0), j)
       } else (1.0, j)
     }
     while (i < n) {
@@ -108,8 +108,11 @@ final class QueryParser(defaultField: String, analyzer: Analyzer, op: String = "
               val tilde = word.lastIndexOf('~')
               if (tilde >= 0) {
                 val suffix = word.substring(tilde + 1)
-                fuzzy = Some(if (suffix.isEmpty) 2 else suffix.toDouble.toInt)
-                word = word.substring(0, tilde)
+                suffix.toDoubleOption match {
+                  case Some(d) => fuzzy = Some(d.toInt); word = word.substring(0, tilde)
+                  case None if suffix.isEmpty => fuzzy = Some(2); word = word.substring(0, tilde)
+                  case None => // not a fuzzy marker; keep the raw word
+                }
               }
               val (b, j) = readBoost(i)
               i = j

@@ -40,14 +40,15 @@ object StreamingIndexer {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // docId offset = docs committed by prior segments (dedup replayed rows)
+    // docId offset = docs committed by prior segments, rounded up to a salt
+    // bucket so rebased blocks stay WAND-co-partitionable (dedup replayed rows)
     val offset =
       if (!fs.exists(new Path(s"$dir/segments"))) 0L
       else {
         val rows = spark.read.parquet(s"$dir/segments")
           .filter(col("segmentId") < segId)
           .groupBy("segmentId").agg(max("docsIndexed").as("d"))
-          .agg(sum("d")).collect()
+          .agg(sum(IndexBuilder.nextBucketStartCol(col("d")))).collect()
         if (rows.isEmpty || rows(0).isNullAt(0)) 0L else rows(0).getLong(0)
       }
 

@@ -112,6 +112,26 @@ class CodecSpec extends AnyFunSuite {
     assert(d.forall(_.positions == null))
   }
 
+  test("highlighter is offset-safe for pre-rewriting analyzers (code)") {
+    import graft.analysis.Analyzers
+    import graft.exec.Highlighter
+    // the code analyzer splits camelCase by inserting spaces — offsets refer
+    // to that preprocessed view; highlighting must not over/under-slice
+    val out = Highlighter.highlight(Analyzers.code, Set("merge"), "parseBuild merge", 1)
+    assert(out === "parse Build <b>merge</b>")
+    val out2 = Highlighter.highlight(Analyzers.code, Set("build"), "parseBuildMerge tail", 1)
+    assert(out2.contains("<b>Build</b>"))
+  }
+
+  test("parser robustness: trailing boost/fuzzy markers do not crash") {
+    import graft.query._
+    val p = new QueryParser("f", graft.analysis.Analyzers.standard)
+    assert(p.parse("hello^") === Term("f", "hello"))
+    assert(p.parse("word~abc").isInstanceOf[Query]) // no NumberFormatException
+    assert(p.parse("term~1") === Fuzzy("f", "term", 1))
+    assert(p.parse("boosted^2.5") === Boost(Term("f", "boosted"), 2.5))
+  }
+
   test("analyzers: standard, whitespace, code") {
     import graft.analysis.Analyzers
     assert(Analyzers.standard.terms("Hello, World! don't U.S.C. x_1").toSeq ===

@@ -37,7 +37,9 @@ class IndexerFacadeSpec extends SparkTestBase {
       "content" -> "goodbye world")
     w.commit()
     assert(w.count(Term("content", "world")) === 2L)
-    assert(w.search(Term("content", "goodbye")).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // each commit is a bucket-aligned segment (WAND-safe docId offsets)
+    assert(w.search(Term("content", "goodbye")).collect().map(_.getLong(0)).toSeq ===
+      Seq(1L << IndexBuilder.SaltShift))
 
     // update = delete + re-add
     w.update(Term("content", "spark"),

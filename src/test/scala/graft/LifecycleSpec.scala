@@ -39,20 +39,22 @@ class LifecycleSpec extends SparkTestBase {
     assert(expunged.docFreq("content", "hello") === 0)
   }
 
-  test("append: new segment, contiguous docIds, correct stats; update = delete+append") {
+  test("append: new bucket-aligned segment, correct stats; update = delete+append") {
+    val bucket = 1L << IndexBuilder.SaltShift
     val appended = base.append(corpus(("r", "p3", "c", "fr", "hello again world")))
     val s = new Searcher(appended)
     assert(appended.numDocs === 4)
     assert(s.docFreq("content", "hello") === 3)
     assert(s.docFreq("content", "world") === 3)
     val ids = appended.docs.select("docId").collect().map(_.getLong(0)).sorted
-    assert(ids.toSeq === Seq(0L, 1L, 2L, 3L))
+    // appended segments start at the next salt-bucket boundary (WAND-safe)
+    assert(ids.toSeq === Seq(0L, 1L, 2L, bucket))
     assert(appended.fieldStats("content").sumTotalTermFreq === 2 + 2 + 2 + 3)
     // update p1: delete then re-add with new content
     val updated = new Searcher(appended).delete(Term("content", "spark"))
       .index.append(corpus(("r", "p1", "c2", "en", "updated text spark")))
     val su = new Searcher(updated)
-    assert(su.search(Term("content", "spark"), 10).collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(su.search(Term("content", "spark"), 10).collect().map(_.getLong(0)).toSeq === Seq(2 * bucket))
   }
 
   test("multi-index union rebases docIds without re-encoding blocks") {
@@ -65,7 +67,7 @@ class LifecycleSpec extends SparkTestBase {
     assert(s.docFreq("content", "world") === 3)
     assert(s.docFreq("content", "hello") === 3)
     val hits = s.search(Term("content", "bonjour"), 10).collect().map(_.getLong(0))
-    assert(hits.toSeq === Seq(3L)) // rebased past base's 3 docs
+    assert(hits.toSeq === Seq(1L << IndexBuilder.SaltShift)) // rebased to the next bucket
     assert(multi.fieldStats("content").docCount === 5)
     // positions survive rebasing (phrase on the second index's doc)
     assert(s.count(Q.phrase("content", "hello", "monde")) === 1)

@@ -47,9 +47,10 @@ class StreamingSpec extends SparkTestBase {
       val v2 = new Searcher(StreamingIndexer.open(spark, dir, schema))
       assert(v2.index.numDocs === 3)
       assert(v2.docFreq("content", "hello") === 3)
+      val bucket = 1L << IndexBuilder.SaltShift
       val ids = v2.index.docs.select("docId").collect().map(_.getLong(0)).sorted
-      assert(ids.toSeq === Seq(0L, 1L, 2L))
-      assert(v2.search(Term("content", "streaming"), 10).collect().map(_.getLong(0)).toSeq === Seq(2L))
+      assert(ids.toSeq === Seq(0L, 1L, bucket)) // new segment at the next salt bucket
+      assert(v2.search(Term("content", "streaming"), 10).collect().map(_.getLong(0)).toSeq === Seq(bucket))
       // lineage carries per-segment metrics
       val segs = spark.read.parquet(s"$dir/segments").collect()
       assert(segs.map(_.getAs[Long]("docsIndexed")).sum === 3L)

@@ -54,6 +54,36 @@ class WandSpec extends SparkTestBase {
     assert(wnd === exh)
   }
 
+  test("multi-bucket corpora + appended segments stay WAND-exact") {
+    // >8192 docs => multiple salt buckets; hash collisions put several
+    // buckets of one term in one build partition — blocks must stay
+    // bucket-aligned or WAND splits a doc's scores across partitions.
+    val big = IndexBuilder.build(CodeCorpus.generate(spark, 10000, 8), schema, 4).cached()
+    val sBig = new Searcher(big)
+    def exhaust(s: Searcher, terms: Seq[String], k: Int) = {
+      val prev = s.wandEnabled
+      s.wandEnabled = false
+      try s.search(Q.any(terms.map(Term("content", _)): _*), k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      finally s.wandEnabled = prev
+    }
+    for (terms <- queries; k <- Seq(5, 50)) {
+      val viaWand = sBig.searchWand("content", terms.map(_ -> 1.0), k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(viaWand === exhaust(sBig, terms, k), s"terms=$terms k=$k")
+      assert(viaWand.map(_._1).distinct.length === viaWand.length, "no duplicate docIds")
+    }
+    // appended segment (bucket-aligned offset) keeps WAND exact too
+    val appended = big.append(CodeCorpus.generate(spark, 500, 2)
+      .withColumn("repo", concat(lit("zz/"), col("repo"))))
+    val sApp = new Searcher(appended)
+    for (terms <- queries.take(3)) {
+      val viaWand = sApp.searchWand("content", terms.map(_ -> 1.0), 20).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(viaWand === exhaust(sApp, terms, 20), s"appended terms=$terms")
+    }
+  }
+
   test("WAND prunes: decodes fewer blocks than exist for small k") {
     // rare + hot mix: docs lacking the high-idf rare term can't compete, so
     // hot-term blocks between rare-term docs are skipped undecoded.

@@ -32,12 +32,13 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        tbl = pq.read_table(files[0])
+        import pyarrow as pa
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
         scols = tbl.column_names
         srows = [tuple(row[c] for c in scols) for row in tbl.to_pylist()]
         try:
