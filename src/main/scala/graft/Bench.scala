@@ -107,6 +107,13 @@ object Bench {
     json.append(s""","queries":${fmtMap(cold)}""")
     json.append(s""","warm_queries":${fmtMap(warm)}""")
     json.append(s""","warm_p50_sec":${num(pct(warmVals, 0.5))},"warm_p99_sec":${num(pct(warmVals, 0.99))}""")
+    // BM25 retrieval queries alone (the north_rule latency metric), separated
+    // from the heavier corpus-analytics ops (dedup/ANN/quality sweeps)
+    val searchPrefixes = Seq("q_term", "q_bool", "q_phrase", "q_prefix", "q_count",
+      "q_suggest", "q_terms", "q_sort", "q_facets", "q_events", "q_doclengths")
+    val searchVals = warm.collect { case (k, v) if searchPrefixes.exists(k.startsWith) => v }
+    if (searchVals.nonEmpty)
+      json.append(s""","search_p50_sec":${num(pct(searchVals, 0.5))},"search_p99_sec":${num(pct(searchVals, 0.99))}""")
     json.append(s""","index_build_sec":${num(buildSec)}""")
     if (doScaling) {
       json.append(s""","build_docs":$benchDocs""")
