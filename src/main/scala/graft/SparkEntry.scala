@@ -192,6 +192,22 @@ object SparkEntry {
       graft.ops.Ann.topkBrute(emb, "vec_id", "embedding", qv, 10)
         .select(col("vec_id"), qz(col("cos")).as("cos_q"))
     }),
+    "q_groupby_repo" -> ((sp, dir) => {
+      searcher(sp, dir).groupBy("repo", Term("content", "data"), groups = 5, docsPerGroup = 1)
+        .select(col("repo"), col("groupCount").as("cnt"),
+          col("docId").as("docid"), qz(col("score")).as("score_q"))
+    }),
+    "q_wildcard_docs" -> ((sp, dir) => {
+      searcher(sp, dir).search(Wildcard("content", "s?ark"), 20).select(col("docId").as("docid"))
+    }),
+    "q_fuzzy_docs" -> ((sp, dir) => {
+      searcher(sp, dir).search(Fuzzy("content", "joln", 1), 20).select(col("docId").as("docid"))
+    }),
+    "q_near_docs" -> ((sp, dir) => {
+      searcher(sp, dir)
+        .search(Near("content", Seq("data", "join"), slop = 3, inOrder = true), 0)
+        .select(col("docId").as("docid"))
+    }),
     "q_events_facets" -> ((sp, dir) => {
       // calendar window: 2024-01-10 +5 days inclusive (DateTimeField.duration)
       val q = DateTimeRanges.duration("ts",
@@ -405,6 +421,32 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jacc_q
          |FROM jac WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
+    "q_groupby_repo" ->
+      s"""$prelude${scoredCte(Seq("data"))}, wf AS (
+         |  SELECT s.docid, s.score, c.repo FROM scored s JOIN corpus c USING (docid)
+         |), best AS (
+         |  SELECT wf.*, row_number() OVER (PARTITION BY repo ORDER BY score DESC, docid ASC) AS rn FROM wf
+         |), cnt AS (
+         |  SELECT repo, count(*) AS cnt FROM wf GROUP BY 1
+         |)
+         |SELECT b.repo, cnt.cnt, b.docid, CAST(floor(b.score * 10000 + 0.5) AS BIGINT) AS score_q
+         |FROM best b JOIN cnt USING (repo) WHERE b.rn = 1
+         |ORDER BY b.score DESC, b.docid ASC LIMIT 5""".stripMargin,
+    "q_wildcard_docs" ->
+      s"""$prelude SELECT DISTINCT docid FROM tf WHERE regexp_matches(term, '^s.ark$$')
+         |ORDER BY docid LIMIT 20""".stripMargin,
+    "q_fuzzy_docs" ->
+      s"""$prelude SELECT DISTINCT docid FROM tf WHERE levenshtein(term, 'joln') <= 1
+         |ORDER BY docid LIMIT 20""".stripMargin,
+    "q_near_docs" ->
+      s"""$prelude, p0 AS (
+         |  SELECT docid, list(pos) AS ps FROM tokp WHERE term = 'data' GROUP BY 1
+         |), p1 AS (
+         |  SELECT docid, list(pos) AS ps FROM tokp WHERE term = 'join' GROUP BY 1
+         |)
+         |SELECT p0.docid FROM p0 JOIN p1 USING (docid)
+         |WHERE len(list_filter(p0.ps, x -> len(list_filter(p1.ps, y -> y > x AND y <= x + 4)) > 0)) > 0
+         |ORDER BY docid""".stripMargin,
     "q_events_facets" -> {
       val lo = DateTimeRanges.timestamp(Seq(2024, 1, 10))
       val hi = lo + 5 * 86400
