@@ -430,7 +430,14 @@ class Searcher(val index: Index) extends Serializable {
     * (groupby, indexers.py:448-453): one shuffle for the window, group
     * ordering by best score (Lucene GroupingSearch relevance default).
     */
-  def groupBy(field: String, q: Query, groups: Int = 10, docsPerGroup: Int = 1): DataFrame = {
+  /** Top groups with per-group top docs (GroupingSearch,
+    * documents.py:468-505): `byValue=false` orders groups by their best hit
+    * (Lucene relevance group sort incl. docId tie-break); `byValue=true`
+    * orders by the group value (Sort(sortfield) mode). `groups <= 0` returns
+    * ALL groups (allGroups=True).
+    */
+  def groupBy(field: String, q: Query, groups: Int = 10, docsPerGroup: Int = 1,
+      byValue: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = eval(q).join(fieldValues(field), "docId")
     val wOrd = Window.partitionBy(col("value")).orderBy(col("score").desc, col("docId").asc)
@@ -442,10 +449,12 @@ class Searcher(val index: Index) extends Serializable {
       // sort incl. the docId tie-break on equal scores
       .withColumn("groupOrd", min(struct((col("score") * -1).as("ns"), col("docId"))).over(wAll))
       .filter(col("rn") <= docsPerGroup)
-    ranked.orderBy(col("groupOrd").asc, col("rn").asc)
-      .limit(groups * docsPerGroup)
-      .select(col("value").as(field.replace('.', '_')), col("groupCount"),
-        col("docId"), col("score"), col("rn"))
+    val ordered =
+      if (byValue) ranked.orderBy(col("value").asc, col("rn").asc)
+      else ranked.orderBy(col("groupOrd").asc, col("rn").asc)
+    val limited = if (groups > 0) ordered.limit(groups * docsPerGroup) else ordered
+    limited.select(col("value").as(field.replace('.', '_')), col("groupCount"),
+      col("docId"), col("score"), col("rn"))
   }
 
   /** Tombstone every doc matching the query; returns a searcher over the

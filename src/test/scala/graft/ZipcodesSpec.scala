@@ -118,6 +118,21 @@ class ZipcodesSpec extends SparkTestBase {
     assert(g(0).getAs[Long]("groupCount") > 100)
   }
 
+  test("GroupingSearch options: value sort + allGroups (test_engine.py:398-403)") {
+    assumeFixture()
+    // sort=sortfield(field), allGroups=True over alldocs: every group has a
+    // positive count; there are >100 groups; groups ⊇ the zipcode:90* facets
+    val all = searcher.groupBy("state.county", AllDocs, groups = 0, docsPerGroup = 1,
+      byValue = true).collect()
+    assert(all.length > 100)
+    assert(all.forall(_.getAs[Long]("groupCount") > 0))
+    val values = all.map(_.getString(0))
+    assert(values.toSeq === values.sorted.toSeq) // value-ordered
+    val facetVals = searcher.facets(Prefix("zipcode", "90"), "state.county").collect()
+      .map(_.getString(0)).toSet
+    assert(facetVals.subsetOf(values.toSet))
+  }
+
   test("filtered copy (test_engine.py:399-409)") {
     assumeFixture()
     val total = searcher.index.numDocs
