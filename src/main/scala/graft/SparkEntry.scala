@@ -349,9 +349,10 @@ object SparkEntry {
          |  SELECT docid, $en AS h_en, $de AS h_de, $fr AS h_fr, $es AS h_es
          |  FROM (SELECT docid, regexp_extract_all(lower(content), '$tokRegexSql') AS toks FROM corpus)
          |)
-         |SELECT docid, CASE WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
-         |                   WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
-         |                   WHEN h_de > h_en THEN 'de' ELSE 'en' END AS lang_pred
+         |SELECT docid, CASE WHEN h_es > greatest(h_en, h_de, h_fr, 0) THEN 'es'
+         |                   WHEN h_fr > greatest(h_en, h_de, 0) THEN 'fr'
+         |                   WHEN h_de > greatest(h_en, 0) THEN 'de'
+         |                   WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred
          |FROM lh""".stripMargin
     },
     "q_quality" -> {

@@ -114,7 +114,7 @@ class Searcher(val index: Index) extends Serializable {
   }
 
   private def evalInner(q: Query): DataFrame = q match {
-    case Term(f, t) => evalTerm(f, t, 1.0)
+    case Term(f, t) => evalTerm(f, t, 1.0, docFreq(f, t))
 
     case TermSet(f, ts) => // constant-score term-set (TermInSetQuery)
       constantOverTerms(f, col("term").isin(ts.distinct: _*), 1.0, Some(ts.distinct))
@@ -170,9 +170,8 @@ class Searcher(val index: Index) extends Serializable {
     case Constant(sub) => evalInner(sub).select(col("docId"), lit(1.0).as("score"))
   }
 
-  private def evalTerm(field: String, term: String, boost: Double): DataFrame = {
+  private def evalTerm(field: String, term: String, boost: Double, df: Long): DataFrame = {
     val st = index.fieldStats.getOrElse(field, return emptyMatches)
-    val df = docFreq(field, term)
     if (df == 0) return emptyMatches
     val w = boost * Bm25.idf(st.docCount, df)
     postings(field, term).toDF()
@@ -188,7 +187,9 @@ class Searcher(val index: Index) extends Serializable {
       knownTerms: Option[Seq[String]] = None): DataFrame = {
     val matchedDocs: DataFrame = knownTerms match {
       case Some(ts) =>
-        index.blocks.filter(col("field") === field && col("term").isin(ts: _*)).toDF()
+        // "" is the norms-sentinel pseudo-term — never a real match
+        val real = ts.filter(_.nonEmpty)
+        index.blocks.filter(col("field") === field && col("term").isin(real: _*)).toDF()
       case None =>
         val termsDf = index.termDict
           .filter(col("field") === field && col("term") =!= "" && termCond)
@@ -229,8 +230,17 @@ class Searcher(val index: Index) extends Serializable {
   private def evalBool(clauses: Seq[(Occur.Value, Query)]): DataFrame = {
     if (clauses.isEmpty) return emptyMatches
     val numRequired = clauses.count(c => c._1 == Occur.Must || c._1 == Occur.Filter)
+    // ONE dictionary lookup for all direct Term clauses (instead of one
+    // driver round-trip per term)
+    val directTerms = clauses.collect { case (_, Term(f, t)) => (f, t) }.distinct
+    val dfByTerm: Map[(String, String), Long] = directTerms.groupBy(_._1).flatMap {
+      case (f, fts) => termStats(f, fts.map(_._2)).map { case (t, (df, _)) => (f, t) -> df }
+    }
     val parts = clauses.map { case (occur, sub) =>
-      val m = evalInner(sub)
+      val m = sub match {
+        case Term(f, t) => evalTerm(f, t, 1.0, dfByTerm.getOrElse((f, t), 0L))
+        case _          => evalInner(sub)
+      }
       occur match {
         case Occur.Should  => m.select(col("docId"), col("score"), lit(0L).as("m"), lit(0L).as("n"))
         case Occur.Must    => m.select(col("docId"), col("score"), lit(1L).as("m"), lit(0L).as("n"))
@@ -247,10 +257,22 @@ class Searcher(val index: Index) extends Serializable {
 
   // ------------------------------------------------------------ positional
 
+  /** Positional queries need a positions-indexed text field (clear driver
+    * error instead of an executor NPE, like Lucene's IllegalStateException).
+    */
+  private def requirePositions(field: String): Unit =
+    index.schema.fields.get(field) match {
+      case Some(graft.index.TextField(_, true)) => ()
+      case other => throw new IllegalArgumentException(
+        s"field '$field' is not indexed with positions (config: $other) — " +
+          "phrase/near/spans queries need TextField(positions = true)")
+    }
+
   private def evalPhrase(p: Phrase): DataFrame = {
     // position placeholders (None) shift subsequent term offsets
     val withOffsets = p.terms.zipWithIndex.collect { case (Some(t), i) => (t, i) }
     if (withOffsets.isEmpty) return emptyMatches
+    requirePositions(p.field)
     // adjust: lists must be offset by term position; PhraseMatcher receives
     // lists pre-shifted by -offset so an exact match is an equal value.
     val field = p.field
@@ -281,6 +303,7 @@ class Searcher(val index: Index) extends Serializable {
   }
 
   private def evalNear(q: Near): DataFrame = {
+    requirePositions(q.field)
     val field = q.field
     val st = index.fieldStats.getOrElse(field, return emptyMatches)
     val stats = termStats(field, q.terms)
@@ -449,12 +472,19 @@ class Searcher(val index: Index) extends Serializable {
       // sort incl. the docId tie-break on equal scores
       .withColumn("groupOrd", min(struct((col("score") * -1).as("ns"), col("docId"))).over(wAll))
       .filter(col("rn") <= docsPerGroup)
-    val ordered =
-      if (byValue) ranked.orderBy(col("value").asc, col("rn").asc)
-      else ranked.orderBy(col("groupOrd").asc, col("rn").asc)
-    val limited = if (groups > 0) ordered.limit(groups * docsPerGroup) else ordered
-    limited.select(col("value").as(field.replace('.', '_')), col("groupCount"),
-      col("docId"), col("score"), col("rn"))
+    // rank whole groups (a row limit would truncate mid-group when a top
+    // group has fewer than docsPerGroup hits); the rank window runs over the
+    // already-collapsed top rows, not the full match set
+    val groupKey = if (byValue) col("value") else col("groupOrd")
+    val limited =
+      if (groups > 0)
+        ranked.withColumn("__grank",
+            dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy(groupKey)))
+          .filter(col("__grank") <= groups)
+      else ranked
+    limited.orderBy(groupKey.asc, col("rn").asc)
+      .select(col("value").as(field.replace('.', '_')), col("groupCount"),
+        col("docId"), col("score"), col("rn"))
   }
 
   /** Tombstone every doc matching the query; returns a searcher over the
@@ -541,6 +571,7 @@ class Searcher(val index: Index) extends Serializable {
     * (IndexSearcher.spans, indexers.py:354-376).
     */
   def spans(q: Near): DataFrame = {
+    requirePositions(q.field)
     val field = q.field
     val n = q.terms.length
     val parts: Seq[Dataset[PosRow]] = q.terms.zipWithIndex.map { case (t, kk) =>
@@ -698,14 +729,16 @@ class Searcher(val index: Index) extends Serializable {
     */
   def morelikethis(docId: Long, field: String, minTermFreq: Int = 2, minDocFreq: Int = 5,
       maxQueryTerms: Int = 25): Query = {
-    val row = index.docs.filter(col("docId") === docId).select(field).collect()
+    if (!index.fieldStats.contains(field)) return NoDocs
+    val row = index.docs.filter(col("docId") === docId)
+      .select(graft.index.Cols.qcol(field)).collect()
     if (row.isEmpty || row(0).isNullAt(0)) return NoDocs
     val analyzer = index.schema.analyzerFor(field)
     val tf = analyzer.terms(row(0).getString(0)).groupBy(identity).view.mapValues(_.size)
       .filter(_._2 >= minTermFreq).toMap
     if (tf.isEmpty) return NoDocs
     val stats = termStats(field, tf.keys.toSeq)
-    val n = index.fieldStats(field).docCount
+    val n = index.fieldStats(field).docCount // guarded above
     val scored = tf.toSeq.flatMap { case (t, f) =>
       stats.get(t).filter(_._1 >= minDocFreq).map { case (df, _) =>
         (t, f * math.log(n.toDouble / df)) // classic MLT tf·idf ranking

@@ -196,8 +196,9 @@ final class Index(
   def append(rows: DataFrame): Index = {
     // round up to a salt-bucket multiple: rebased blocks must stay
     // bucket-aligned or WAND's co-partitioning splits docs across partitions
-    val maxId = docs.agg(max(col("docId"))).collect()(0).getLong(0)
-    val offset = IndexBuilder.nextBucketStart(maxId + 1)
+    val maxRow = docs.agg(max(col("docId"))).collect()(0)
+    val offset =
+      if (maxRow.isNullAt(0)) 0L else IndexBuilder.nextBucketStart(maxRow.getLong(0) + 1)
     val seg = IndexBuilder.build(rows, schema)
     val segDocs = seg.docs.withColumn("docId", col("docId") + offset)
     import spark.implicits._
@@ -263,6 +264,7 @@ final class Index(
     termDict.repartitionByRange(col("field"), col("term"))
       .sortWithinPartitions("field", "term")
       .write.mode("overwrite").parquet(s"$dir/termdict")
+    deletes.foreach(_.write.mode("overwrite").parquet(s"$dir/deletes"))
     IndexManifest.write(spark, s"$dir/manifest", IndexManifest(schema, fieldStats))
   }
 }
@@ -362,7 +364,13 @@ object IndexBuilder {
     // The explicit repartition decouples tokenize parallelism from the docId
     // window's exchange, which AQE otherwise coalesces to ~64MB partitions —
     // the tokenize stage is CPU-bound and must run at full width.
+    // Persisted: postings are encoded from ONE docId assignment; without
+    // pinning, a later action could re-run the window and (for DUPLICATE
+    // keys, which violate the input contract) swap docIds between the doc
+    // store and the frozen postings. (CheckpointedBuild writes docs first
+    // for the same reason.)
     val docs = prepareDocs(source, schema, parts).repartition(parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist: the stats collection below is an action, and queries reuse
     // blocks — without this the tokenize+shuffle pipeline would re-execute
     // per action (the at-scale path, CheckpointedBuild, persists to parquet)
@@ -503,13 +511,20 @@ object IndexBuilder {
   def load(spark: SparkSession, dir: String): Index = {
     import spark.implicits._
     val manifest = IndexManifest.read(spark, s"$dir/manifest")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deletes =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
+        Some(spark.read.parquet(s"$dir/deletes"))
+      else None
     new Index(
       spark,
       manifest.schema,
       spark.read.parquet(s"$dir/docs"),
       spark.read.parquet(s"$dir/postings").as[PostingBlock],
       spark.read.parquet(s"$dir/termdict"),
-      manifest.fieldStats
+      manifest.fieldStats,
+      deletes
     )
   }
 }

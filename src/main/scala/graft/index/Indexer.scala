@@ -78,8 +78,17 @@ final class Indexer(
     refresh()
   }
 
-  /** Latest committed view, tombstones applied. */
+  /** Latest committed view, tombstones applied. A never-committed directory
+    * behaves as an empty index (the reference supports querying one).
+    */
   def searcher: Searcher = cachedSearcher.getOrElse {
+    if (!fs.exists(new Path(s"$dir/segments"))) {
+      val empty = IndexBuilder.build(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sourceSchema), schema)
+      val s = new Searcher(empty)
+      cachedSearcher = Some(s)
+      return s
+    }
     val base = StreamingIndexer.open(spark, dir, schema)
     val idx =
       if (fs.exists(new Path(s"$dir/deletes")))

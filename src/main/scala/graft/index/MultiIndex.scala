@@ -16,8 +16,10 @@ object MultiIndex {
     val spark = indexes.head.spark
     import spark.implicits._
     // bucket-aligned sizes keep rebased blocks WAND-co-partitionable
-    val sizes = indexes.map(ix =>
-      IndexBuilder.nextBucketStart(ix.docs.agg(max(col("docId"))).collect()(0).getLong(0) + 1))
+    val sizes = indexes.map { ix =>
+      val r = ix.docs.agg(max(col("docId"))).collect()(0)
+      if (r.isNullAt(0)) 0L else IndexBuilder.nextBucketStart(r.getLong(0) + 1)
+    }
     val offsets = sizes.scanLeft(0L)(_ + _)
     val docs = indexes.zip(offsets).map { case (ix, off) =>
       ix.docs.withColumn("docId", col("docId") + off)

@@ -39,8 +39,9 @@ object TextOps {
     */
   def languageId(text: Column): Column = {
     val toks = tokens(text)
-    // fold left keeping (bestLang, bestHits); list order is the tiebreak
-    stopwords.foldLeft((lit("und"), lit(-1)): (Column, Column)) {
+    // fold left keeping (bestLang, bestHits); list order is the tiebreak;
+    // zero evidence stays "und"
+    stopwords.foldLeft((lit("und"), lit(0)): (Column, Column)) {
       case ((bestLang, bestHits), (lang, words)) =>
         val h = stopwordHits(toks, words)
         (when(h > bestHits, lit(lang)).otherwise(bestLang),

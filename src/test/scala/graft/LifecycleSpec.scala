@@ -73,6 +73,47 @@ class LifecycleSpec extends SparkTestBase {
     assert(s.count(Q.phrase("content", "hello", "monde")) === 1)
   }
 
+  test("tombstones survive save/load; empty index append/union/query work") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del-save").toString
+    new Searcher(base).delete(Term("lang", "en")).index.save(dir)
+    val reloaded = new Searcher(IndexBuilder.load(spark, dir))
+    assert(reloaded.count(Term("content", "hello")) === 0) // deletes persisted
+    assert(reloaded.index.numLiveDocs === 1)
+
+    // empty-index edges: append to empty, union with empty, query empty
+    val empty = IndexBuilder.build(corpus().limit(0), schema, 2)
+    assert(new Searcher(empty).count(Term("content", "hello")) === 0)
+    val grown = empty.append(corpus(("r", "p9", "c", "en", "hello void")))
+    assert(new Searcher(grown).count(Term("content", "void")) === 1)
+    val u = MultiIndex.union(Seq(empty, base))
+    assert(new Searcher(u).docFreq("content", "hello") === 2)
+  }
+
+  test("positional queries on a positions-less field fail with a clear error") {
+    val noPos = IndexBuilder.build(corpus(("r", "p0", "c", "en", "hello world")),
+      IndexSchema(Seq("repo", "path", "commit"),
+        Map("content" -> TextField("standard", positions = false))), 2)
+    val e = intercept[IllegalArgumentException] {
+      new Searcher(noPos).count(Q.phrase("content", "hello", "world"))
+    }
+    assert(e.getMessage.contains("positions"))
+  }
+
+  test("TermSet ignores empty-string terms (norms sentinel)") {
+    val s = new Searcher(base)
+    assert(s.count(TermSet("content", Seq("", "hello"))) === 2)
+    assert(s.count(TermSet("content", Seq(""))) === 0)
+  }
+
+  test("groupBy returns whole groups when a top group is smaller than docsPerGroup") {
+    // base: en docs {0,1} (hello...), de doc {2}; query 'world' matches 0 (en), 2 (de)
+    val s = new Searcher(base)
+    val g = s.groupBy("lang", Term("content", "world"), groups = 2, docsPerGroup = 2).collect()
+    val byLang = g.groupBy(_.getString(0))
+    assert(byLang.keySet === Set("en", "de")) // both groups complete, none truncated
+    assert(g.length === 2) // one hit each
+  }
+
   test("integrity check passes on a healthy index and counts postings") {
     val (nBlocks, nPostings) = base.check()
     assert(nBlocks > 0)
