@@ -176,10 +176,11 @@ object SparkEntry {
       val planted = docs.select(col("doc_id"), col("text"))
         .unionAll(docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      // no cache: the UDF minhash is cheap to recompute, and a per-invocation
+      // cache would leak across benchmark repetitions
       val sh = planted.select(col("doc_id"),
         graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
         .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
-        .cache() // reused by both sides of the LSH self-join + jaccard
       val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4)
       graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
         .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
