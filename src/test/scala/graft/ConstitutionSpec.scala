@@ -211,6 +211,20 @@ class ConstitutionSpec extends SparkTestBase {
     hl.foreach(r => assert(r.getAs[String]("hl").toLowerCase.contains("<b>right</b>")))
   }
 
+  test("leading wildcard + index-order sort (test_engine.py:104,168)") {
+    assumeFixture()
+    // '*hello'-style leading wildcard (allowLeadingWildcard)
+    val q = searcher.parse("text:*ights", "text")
+    assert(q === Wildcard("text", "*ights"))
+    assert(searcher.count(q) === 2) // docs containing terms ending in 'ights' (rights, weights)
+    // sort=INDEXORDER: docId-ascending with scores retained
+    val hits = searcher.search(Term("text", "people"), 5,
+      sorts = Seq(graft.exec.SortSpec("docId"))).collect()
+    val ids = hits.map(_.getLong(0))
+    assert(ids.toSeq === ids.sorted.toSeq)
+    assert(hits.forall(_.getAs[Double]("score") > 0))
+  }
+
   test("parser: default OR vs op=and (test_engine.py:103)") {
     assumeFixture()
     assert(searcher.count(searcher.parse("text:right people", "text")) > 0)
