@@ -76,15 +76,28 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     // --- contract queries on the sf dir ---------------------------------
+    // Failures are LOUD: a broken query records its error (per-query `err` in
+    // the JSON) and the process exits nonzero — a failure must never read as
+    // a fast wall time.
     var spark = session(cpus)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      time {
+        try fn(spark, sfDir).collect()
+        catch {
+          case e: Throwable =>
+            if (!errors.contains(name))
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("\\s+", " ").take(200)
+        }
+      }
     val buildSec = time(SparkEntry.searcher(spark, sfDir)) // one-time index build
     val cold = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time { try fn(spark, sfDir).collect() catch { case _: Throwable => () } }
+      name -> runOnce(name, fn)
     }
     // warm latencies: 3 reps each, keep min per query
     val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = (1 to 3).map(_ => time { try fn(spark, sfDir).collect() catch { case _: Throwable => () } })
-      name -> reps.min
+      name -> (1 to 3).map(_ => runOnce(name, fn)).min
     }
     spark.stop()
     SparkEntry.clearCache()
@@ -106,7 +119,10 @@ object Bench {
     json.append(s"""{"metric":"total","value":${num(total)},"unit":"sec"""")
     json.append(s""","queries":${fmtMap(cold)}""")
     json.append(s""","warm_queries":${fmtMap(warm)}""")
+    // NB: with ~26 samples the "p99" is the max of the set — labeled via
+    // n_warm_samples so readers can weigh it accordingly.
     json.append(s""","warm_p50_sec":${num(pct(warmVals, 0.5))},"warm_p99_sec":${num(pct(warmVals, 0.99))}""")
+    json.append(s""","n_warm_samples":${warmVals.length},"warm_reps_per_query":3""")
     // BM25 retrieval queries alone (the north_rule latency metric), separated
     // from the heavier corpus-analytics ops (dedup/ANN/quality sweeps)
     val searchPrefixes = Seq("q_term", "q_bool", "q_phrase", "q_prefix", "q_count",
@@ -121,7 +137,16 @@ object Bench {
       json.append(s""","build_docs_per_sec_local${scaleN * 4}":${num(rate32, 1)}""")
       json.append(s""","scaling_efficiency_${scaleN}_to_${scaleN * 4}":${num(eff, 3)}""")
     }
+    if (errors.nonEmpty) {
+      def qesc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      json.append(""","errors":""").append(
+        errors.map { case (k, v) => s""""${qesc(k)}":"${qesc(v)}"""" }.mkString("{", ",", "}"))
+    }
     json.append(s""","sf":"$sfDir"}""")
     println(json.toString)
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+      sys.exit(1)
+    }
   }
 }

@@ -58,10 +58,25 @@ object SparkEntry {
       new Searcher(idx)
     })
 
+  /** Parquet-backed searcher: the index is built once, persisted in the
+    * save() layout (postings range-laid-out by (field, term) so per-term
+    * filters prune files via min/max stats), and queried FROM PARQUET — the
+    * at-scale posture. Round 1 pinned the whole index in executor storage
+    * memory, and query-side execution memory (minhash/ANN sweeps) evicted it
+    * between benchmark reps, making warm retrieval slower than cold
+    * (BENCH_r01 q_term_topk 0.93 s warm vs 0.18 s cold). Only the term
+    * dictionary (small, hot: every docFreq/idf lookup) stays pinned.
+    */
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     cache.getOrElseUpdate(sfDir, {
-      val idx = IndexBuilder.build(corpus(spark, sfDir), schema).cached()
-      idx.blocks.count() // materialize the cache once
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-index-" +
+        s"${ProcessHandle.current().pid()}-${Integer.toHexString(sfDir.hashCode)}"
+      val built = IndexBuilder.build(corpus(spark, sfDir), schema)
+      built.save(dir)
+      built.docs.unpersist()
+      built.blocks.unpersist()
+      val idx = IndexBuilder.load(spark, dir)
+      idx.termDict.cache().count()
       new Searcher(idx)
     })
 

@@ -3,7 +3,7 @@ package graft.exec
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.index.{Index, Posting, PostingCodec}
+import graft.index.{Index, Posting, PostingBlock, PostingCodec}
 import graft.query._
 
 /** Lucene BM25Similarity parity (SURVEY.md §4.3):
@@ -34,11 +34,6 @@ object Bm25 {
 }
 
 final case class SortSpec(field: String, descending: Boolean = false)
-
-/** One per-term positional posting row flowing into the phrase matcher
-  * (top-level: task closures must not capture the Searcher/Index).
-  */
-final case class PosRow(docId: Long, idx: Int, dlq: Int, positions: Array[Int])
 
 /** Query evaluation over an [[Index]]: every query node evaluates to a
   * DataFrame of (docId, score) with one row per matching doc, composed with
@@ -268,64 +263,88 @@ class Searcher(val index: Index) extends Serializable {
           "phrase/near/spans queries need TextField(positions = true)")
     }
 
+  /** Co-partitioned positional evaluation — the phrase/near/span workhorse.
+    *
+    * Per-doc per-term position lists for docs containing ALL `dfOrder` terms,
+    * as (docId, dlq, lists) with `lists(k)` = positions of `dfOrder(k)`.
+    * Scale shape (replaces round-1's union + groupByKey, which shuffled the
+    * DECODED postings of every term — including `the`-class hot terms — in
+    * their entirety):
+    *  1. bucket pruning: blocks are salt-bucket-aligned, so a semi-join on
+    *     `bucket(firstDocId)` against the rarest term's buckets drops whole
+    *     blocks of the wider terms before anything shuffles or decodes;
+    *  2. one narrow shuffle of the surviving COMPRESSED blocks,
+    *     co-partitioned by bucket exactly like [[searchWand]];
+    *  3. per partition, a rarest-term-first merge-intersect over sorted
+    *     blocks: a wider term's block is never decoded unless its docId range
+    *     still contains a live candidate.
+    */
+  private def positionalMatches(field: String, dfOrder: Seq[String]): Dataset[(Long, Int, Array[Array[Int]])] = {
+    val rarest = dfOrder.head
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucket = shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift)
+    val all = index.blocks.filter(col("field") === field && col("term").isin(dfOrder: _*))
+    val rareBuckets = index.blocks
+      .filter(col("field") === field && col("term") === rarest)
+      .select(bucket.as("__bkt")).distinct()
+    // no broadcast hint: AQE broadcasts when the bucket list is small; at
+    // cluster scale a large rarest term degrades to a shuffled semi-join
+    val order = dfOrder.toArray
+    all.join(rareBuckets, bucket === col("__bkt"), "left_semi")
+      .as[PostingBlock]
+      .repartition(parts, bucket)
+      .mapPartitions(it => PhraseMatcher.intersectPartition(order, it))
+  }
+
+  /** (distinct terms rarest-first, their stats) or None when any term is
+    * absent (conjunctive positional queries then match nothing).
+    */
+  private def positionalPlan(field: String, terms: Seq[String]): Option[(Seq[String], Map[String, (Long, Long)])] = {
+    requirePositions(field)
+    val distinct = terms.distinct
+    val stats = termStats(field, distinct)
+    if (distinct.exists(!stats.contains(_))) None
+    else Some((distinct.sortBy(t => (stats(t)._1, t)), stats))
+  }
+
   private def evalPhrase(p: Phrase): DataFrame = {
     // position placeholders (None) shift subsequent term offsets
     val withOffsets = p.terms.zipWithIndex.collect { case (Some(t), i) => (t, i) }
     if (withOffsets.isEmpty) return emptyMatches
-    requirePositions(p.field)
-    // adjust: lists must be offset by term position; PhraseMatcher receives
-    // lists pre-shifted by -offset so an exact match is an equal value.
     val field = p.field
     val st = index.fieldStats.getOrElse(field, return emptyMatches)
-    val stats = termStats(field, withOffsets.map(_._1))
-    if (withOffsets.exists { case (t, _) => !stats.contains(t) }) return emptyMatches
+    val (dfOrder, stats) = positionalPlan(field, withOffsets.map(_._1)).getOrElse(return emptyMatches)
     val sumWeight = withOffsets.map { case (t, _) => Bm25.idf(st.docCount, stats(t)._1) }.sum
-    val n = withOffsets.length
-    val parts: Seq[Dataset[PosRow]] = withOffsets.zipWithIndex.map { case ((t, off), k) =>
-      postings(field, t, withPositions = true)
-        .map(pst => PosRow(pst.docId, k, pst.dlq, pst.positions.map(_ - off)))
-    }
+    // lists pre-shifted by -offset so an exact match is an equal value
+    val slot = dfOrder.zipWithIndex.toMap
+    val offs: Array[(Int, Int)] = withOffsets.map { case (t, off) => (slot(t), off) }.toArray
     val so = p.slop
-    val avgdl = st.avgdl
-    val matched = parts.reduce(_ unionAll _)
-      .groupByKey(_.docId)
-      .mapGroups { (docId, it) =>
-        val rows = it.toArray
-        if (rows.map(_.idx).distinct.length < n) (docId, 0.0, 0)
-        else {
-          val lists = PhraseMatcher.byIdx(rows, n)
-          (docId, PhraseMatcher.phraseFreq(lists, so), rows.head.dlq)
-        }
+    val matched = positionalMatches(field, dfOrder)
+      .map { case (docId, dlq, lists) =>
+        val shifted = offs.map { case (s, off) => lists(s).map(_ - off) }
+        (docId, PhraseMatcher.phraseFreq(shifted, so), dlq)
       }
       .filter(_._2 > 0.0)
     matched.toDF("docId", "freq", "dlq")
-      .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), sumWeight, avgdl).as("score"))
+      .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), sumWeight, st.avgdl).as("score"))
   }
 
   private def evalNear(q: Near): DataFrame = {
-    requirePositions(q.field)
     val field = q.field
     val st = index.fieldStats.getOrElse(field, return emptyMatches)
-    val stats = termStats(field, q.terms)
-    if (q.terms.exists(!stats.contains(_))) return emptyMatches
+    val (dfOrder, stats) = positionalPlan(field, q.terms).getOrElse(return emptyMatches)
     val sumWeight = q.terms.map(t => Bm25.idf(st.docCount, stats(t)._1)).sum
-    val n = q.terms.length
-    val parts: Seq[Dataset[PosRow]] = q.terms.zipWithIndex.map { case (t, k) =>
-      postings(field, t, withPositions = true).map(p => PosRow(p.docId, k, p.dlq, p.positions))
-    }
+    val slot = dfOrder.zipWithIndex.toMap
+    val slots: Array[Int] = q.terms.map(slot(_)).toArray
     val so = q.slop
     val io = q.inOrder
-    val avgdl = st.avgdl
-    val matched = parts.reduce(_ unionAll _)
-      .groupByKey(_.docId)
-      .mapGroups { (docId, it) =>
-        val rows = it.toArray
-        if (rows.map(_.idx).distinct.length < n) (docId, 0.0, 0)
-        else (docId, PhraseMatcher.nearFreq(PhraseMatcher.byIdx(rows, n), so, io), rows.head.dlq)
+    val matched = positionalMatches(field, dfOrder)
+      .map { case (docId, dlq, lists) =>
+        (docId, PhraseMatcher.nearFreq(slots.map(lists(_)), so, io), dlq)
       }
       .filter(_._2 > 0.0)
     matched.toDF("docId", "freq", "dlq")
-      .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), sumWeight, avgdl).as("score"))
+      .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), sumWeight, st.avgdl).as("score"))
   }
 
   // ----------------------------------------------------------------- search
@@ -472,16 +491,20 @@ class Searcher(val index: Index) extends Serializable {
       // sort incl. the docId tie-break on equal scores
       .withColumn("groupOrd", min(struct((col("score") * -1).as("ns"), col("docId"))).over(wAll))
       .filter(col("rn") <= docsPerGroup)
-    // rank whole groups (a row limit would truncate mid-group when a top
-    // group has fewer than docsPerGroup hits); the rank window runs over the
-    // already-collapsed top rows, not the full match set
+    // Rank whole groups WITHOUT a global window (an unpartitioned dense_rank
+    // would sort every group on ONE task — the round-1 scale-killer): each
+    // group's rn=1 row carries its ord, so top groups are a distributed
+    // TakeOrdered over one row per group, then a broadcast semi-join keeps
+    // only their docs. Whole groups survive (a plain row limit would truncate
+    // mid-group when a top group has fewer than docsPerGroup hits).
     val groupKey = if (byValue) col("value") else col("groupOrd")
     val limited =
-      if (groups > 0)
-        ranked.withColumn("__grank",
-            dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy(groupKey)))
-          .filter(col("__grank") <= groups)
-      else ranked
+      if (groups > 0) {
+        val top = ranked.filter(col("rn") === 1)
+          .select(col("value"), groupKey.as("__gk"))
+          .orderBy(col("__gk").asc).limit(groups)
+        ranked.join(broadcast(top.select("value")), Seq("value"), "left_semi")
+      } else ranked
     limited.orderBy(groupKey.asc, col("rn").asc)
       .select(col("value").as(field.replace('.', '_')), col("groupCount"),
         col("docId"), col("score"), col("rn"))
@@ -571,19 +594,15 @@ class Searcher(val index: Index) extends Serializable {
     * (IndexSearcher.spans, indexers.py:354-376).
     */
   def spans(q: Near): DataFrame = {
-    requirePositions(q.field)
     val field = q.field
-    val n = q.terms.length
-    val parts: Seq[Dataset[PosRow]] = q.terms.zipWithIndex.map { case (t, kk) =>
-      postings(field, t, withPositions = true).map(p => PosRow(p.docId, kk, p.dlq, p.positions))
-    }
+    val (dfOrder, _) = positionalPlan(field, q.terms)
+      .getOrElse(return spark.emptyDataset[(Long, Array[(Int, Int)])].toDF("docId", "spans"))
+    val slot = dfOrder.zipWithIndex.toMap
+    val slots: Array[Int] = q.terms.map(slot(_)).toArray
     val so = q.slop
-    parts.reduce(_ unionAll _)
-      .groupByKey(_.docId)
-      .mapGroups { (docId, it) =>
-        val rows = it.toArray
-        if (rows.map(_.idx).distinct.length < n) (docId, Array.empty[(Int, Int)])
-        else (docId, PhraseMatcher.orderedNearSpans(PhraseMatcher.byIdx(rows, n), so))
+    positionalMatches(field, dfOrder)
+      .map { case (docId, _, lists) =>
+        (docId, PhraseMatcher.orderedNearSpans(slots.map(lists(_)), so))
       }
       .filter(_._2.nonEmpty)
       .toDF("docId", "spans")
@@ -756,10 +775,68 @@ class Searcher(val index: Index) extends Serializable {
   */
 object PhraseMatcher {
 
-  /** Arrange per-term position lists by term index 0..n-1. */
-  def byIdx(rows: Array[PosRow], n: Int): Array[Array[Int]] = {
-    val m = rows.map(r => r.idx -> r.positions).toMap
-    (0 until n).map(m(_)).toArray
+  /** Rarest-term-first merge-intersect over one co-partitioned slice of
+    * posting blocks (the executor side of Searcher.positionalMatches).
+    *
+    * `order` lists the distinct query terms rarest-first; the iterator holds
+    * their blocks for some set of salt buckets. The rarest term decodes in
+    * full; every later term only decodes blocks whose [firstDocId, lastDocId]
+    * range still contains a live candidate (blocks of one term are disjoint
+    * and sorted, so the candidate pointer advances monotonically). Emits
+    * (docId, dlq, positions-per-term-in-`order`-order) for docs containing
+    * every term.
+    */
+  def intersectPartition(order: Array[String], blocks: Iterator[graft.index.PostingBlock]):
+      Iterator[(Long, Int, Array[Array[Int]])] = {
+    import graft.index.PostingCodec
+    val byTerm = blocks.toArray.groupBy(_.term)
+    if (order.exists(!byTerm.contains(_))) return Iterator.empty
+    val n = order.length
+    val first = byTerm(order(0)).sortBy(_.firstDocId)
+      .flatMap(b => PostingCodec.decodeBlock(b, withPositions = true))
+    var docIds: Array[Long] = first.map(_.docId)
+    var dlqs: Array[Int] = first.map(_.dlq)
+    var poss: Array[Array[Array[Int]]] = first.map { p =>
+      val a = new Array[Array[Int]](n); a(0) = p.positions; a
+    }
+    var k = 1
+    while (k < n && docIds.nonEmpty) {
+      val termBlocks = byTerm(order(k)).sortBy(_.firstDocId)
+      val keep = new scala.collection.mutable.ArrayBuffer[Int](docIds.length)
+      val newPos = new scala.collection.mutable.ArrayBuffer[Array[Int]](docIds.length)
+      var lo = 0
+      var bi = 0
+      while (bi < termBlocks.length && lo < docIds.length) {
+        val b = termBlocks(bi)
+        while (lo < docIds.length && docIds(lo) < b.firstDocId) lo += 1
+        if (lo < docIds.length && docIds(lo) <= b.lastDocId) {
+          val decoded = PostingCodec.decodeBlock(b, withPositions = true)
+          var i = 0
+          var j = lo
+          while (i < decoded.length && j < docIds.length) {
+            val d = decoded(i).docId
+            if (d < docIds(j)) i += 1
+            else if (d > docIds(j)) j += 1
+            else { keep += j; newPos += decoded(i).positions; i += 1; j += 1 }
+          }
+          lo = j // blocks are disjoint ascending: nothing before j can match later
+        }
+        bi += 1
+      }
+      val m = keep.length
+      val nd = new Array[Long](m); val nq = new Array[Int](m)
+      val np = new Array[Array[Array[Int]]](m)
+      var x = 0
+      while (x < m) {
+        val src = keep(x)
+        nd(x) = docIds(src); nq(x) = dlqs(src)
+        val a = poss(src); a(k) = newPos(x); np(x) = a
+        x += 1
+      }
+      docIds = nd; dlqs = nq; poss = np
+      k += 1
+    }
+    docIds.indices.iterator.map(i => (docIds(i), dlqs(i), poss(i)))
   }
 
   /** Exact/sloppy phrase frequency over offset-adjusted position lists. */
