@@ -265,7 +265,7 @@ object SparkEntry {
       |), tf AS (
       |  SELECT docid, term, count(*) AS tf FROM tokp GROUP BY 1, 2
       |), dl AS (
-      |  SELECT c.docid, count(t.term) AS dl FROM corpus c LEFT JOIN tokp t USING (docid) GROUP BY 1
+      |  SELECT docid, count(*) AS dl FROM tokp GROUP BY 1
       |), dlq AS (
       |  SELECT docid, CASE WHEN dl < 16 THEN dl ELSE (dl >> (length(bin(dl)) - 5)) << (length(bin(dl)) - 5) END AS dlq FROM dl
       |), stats AS (
@@ -340,11 +340,11 @@ object SparkEntry {
          |ORDER BY c.n_chars DESC, c.docid ASC LIMIT 10""".stripMargin,
     "q_prefix_docs" ->
       s"""$prelude SELECT DISTINCT docid FROM tf WHERE term LIKE 'jo%' ORDER BY docid LIMIT 20""",
-    "q_suggest" ->
+    "q_suggest" -> // transposition counts as ONE edit (LuceneLevenshteinDistance)
       s"""$prelude, cand AS (
-         |  SELECT term, count(*) AS docfreq, levenshtein(term, 'joon') AS dist,
-         |         1.0 - levenshtein(term, 'joon')::DOUBLE / least(length(term), 4)::DOUBLE AS sim
-         |  FROM tf WHERE term <> 'joon' AND substring(term, 1, 1) = 'j' AND levenshtein(term, 'joon') <= 2
+         |  SELECT term, count(*) AS docfreq, damerau_levenshtein(term, 'joon') AS dist,
+         |         1.0 - damerau_levenshtein(term, 'joon')::DOUBLE / least(length(term), 4)::DOUBLE AS sim
+         |  FROM tf WHERE term <> 'joon' AND substring(term, 1, 1) = 'j' AND damerau_levenshtein(term, 'joon') <= 2
          |  GROUP BY 1
          |)
          |SELECT term, docfreq, dist, CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS sim_q
@@ -355,8 +355,10 @@ object SparkEntry {
       "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents",
 
     // ---- training-data pipeline ops -------------------------------------
-    "q_token_stats" ->
-      s"""$prelude SELECT docid, dl AS n_tokens FROM dl""",
+    "q_token_stats" -> // over ALL docs (zero-token docs included), unlike the
+      // index-side dl CTE whose docs define the field's docCount
+      s"""$prelude SELECT c.docid, count(t.term) AS n_tokens
+         |FROM corpus c LEFT JOIN tokp t USING (docid) GROUP BY 1""".stripMargin,
     "q_langid" -> {
       def hits(words: Seq[String]) =
         s"len(list_filter(toks, t -> list_contains(${words.mkString("['", "','", "']")}, t)))"
@@ -452,8 +454,8 @@ object SparkEntry {
     "q_wildcard_docs" ->
       s"""$prelude SELECT DISTINCT docid FROM tf WHERE regexp_matches(term, '^s.ark$$')
          |ORDER BY docid LIMIT 20""".stripMargin,
-    "q_fuzzy_docs" ->
-      s"""$prelude SELECT DISTINCT docid FROM tf WHERE levenshtein(term, 'joln') <= 1
+    "q_fuzzy_docs" -> // FuzzyQuery transpositions=true: damerau distance
+      s"""$prelude SELECT DISTINCT docid FROM tf WHERE damerau_levenshtein(term, 'joln') <= 1
          |ORDER BY docid LIMIT 20""".stripMargin,
     "q_near_docs" ->
       s"""$prelude, p0 AS (

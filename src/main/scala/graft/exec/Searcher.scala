@@ -35,6 +35,32 @@ object Bm25 {
 
 final case class SortSpec(field: String, descending: Boolean = false)
 
+object Searcher {
+
+  /** Damerau (OSA) distance as a column — Lucene fuzzy/spellcheck count an
+    * adjacent transposition as ONE edit, unlike Spark's levenshtein.
+    */
+  val damerau: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: String, b: String) => graft.util.EditDistance.damerau(a, b))
+
+  /** Fuzzy-expansion predicate over the term dictionary. Cheap filters run
+    * first (Catalyst And short-circuits left-to-right): a length window —
+    * |len(term) − len(q)| ≤ maxEdits is necessary for any edit distance — and
+    * the FuzzyQuery prefixLength anchor, so the O(|a|·|b|) distance only runs
+    * on the surviving sliver of a large dictionary (Lucene walks a
+    * Levenshtein automaton in O(matches); this is the set-filter equivalent).
+    */
+  def fuzzyCond(q: String, maxEdits: Int, prefixLen: Int, transpositions: Boolean): Column = {
+    val lenOk = abs(length(col("term")) - lit(q.length)) <= maxEdits
+    val prefOk =
+      if (prefixLen > 0) col("term").startsWith(q.take(prefixLen)) else lit(true)
+    val dist =
+      if (transpositions) damerau(col("term"), lit(q))
+      else levenshtein(col("term"), lit(q))
+    lenOk && prefOk && (dist <= maxEdits)
+  }
+}
+
 /** Query evaluation over an [[Index]]: every query node evaluates to a
   * DataFrame of (docId, score) with one row per matching doc, composed with
   * plain Catalyst operators (union + hash-aggregate for boolean algebra —
@@ -140,10 +166,10 @@ class Searcher(val index: Index) extends Serializable {
       constantOverTerms(f, col("term").rlike(wildcardToRegex(pat)), 1.0)
     case Regexp(f, pat) =>
       constantOverTerms(f, col("term").rlike("^(?:" + pat + ")$"), 1.0)
-    case Fuzzy(f, t, maxEdits) =>
-      // edit-distance expansion incl. the exact term (FuzzyQuery semantics:
-      // prefixLength=0, constant score)
-      constantOverTerms(f, levenshtein(col("term"), lit(t)) <= maxEdits, 1.0)
+    case Fuzzy(f, t, maxEdits, prefixLen, transpositions) =>
+      // edit-distance expansion incl. the exact term (FuzzyQuery semantics,
+      // constant score)
+      constantOverTerms(f, Searcher.fuzzyCond(t, maxEdits, prefixLen, transpositions), 1.0)
 
     case Points(f, vs) =>
       index.docs.filter(numericCol(f).isin(vs: _*))
@@ -652,8 +678,8 @@ class Searcher(val index: Index) extends Serializable {
       counts: Boolean = false, distance: Int = 0): DataFrame = {
     var td = index.termDict.filter(col("field") === field && col("term") =!= "")
     td =
-      if (distance > 0)
-        td.filter(levenshtein(col("term"), lit(prefix)) <= distance)
+      if (distance > 0) // FuzzyTermsEnum semantics: transposition = 1 edit
+        td.filter(Searcher.fuzzyCond(prefix, distance, prefixLen = 0, transpositions = true))
       else if (stop != null) td.filter(col("term") >= prefix && col("term") < stop)
       else td.filter(col("term").startsWith(prefix))
     val cols = if (counts) Seq(col("term"), col("docFreq")) else Seq(col("term"))
@@ -673,17 +699,19 @@ class Searcher(val index: Index) extends Serializable {
 
   /** Spell suggestions: DirectSpellChecker-equivalent observable behavior
     * (indexers.py:147-160): same first letter (minPrefix 1), edit distance
-    * ≤ maxEdits, ranked by normalized similarity
-    * (1 − dist/min(|query|,|term|)) then popularity — pins the reference's
-    * `suggest("text","write") == [writs, writ, written]` ordering.
+    * ≤ maxEdits with transposition = 1 edit (LuceneLevenshteinDistance),
+    * ranked by normalized similarity (1 − dist/min(|query|,|term|)) then
+    * popularity — pins the reference's `suggest("text","write") ==
+    * [writs, writ, written]` ordering. Length-window + first-letter filters
+    * run before the distance so a web-scale dictionary scans cheaply.
     */
   def suggest(field: String, value: String, k: Int = 10, maxEdits: Int = 2): DataFrame = {
-    val dist = levenshtein(col("term"), lit(value))
+    val dist = Searcher.damerau(col("term"), lit(value))
     val sim = lit(1.0) - dist.cast("double") /
       least(length(col("term")), lit(value.length)).cast("double")
     index.termDict
       .filter(col("field") === field && col("term") =!= "" && col("term") =!= value &&
-        substring(col("term"), 1, 1) === value.take(1) && dist <= maxEdits)
+        Searcher.fuzzyCond(value, maxEdits, prefixLen = 1, transpositions = true))
       .select(col("term"), col("docFreq"), dist.as("dist"), sim.as("sim"))
       .orderBy(col("sim").desc, col("docFreq").desc, col("term").asc)
       .limit(k)

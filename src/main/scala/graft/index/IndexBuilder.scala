@@ -82,15 +82,21 @@ object DocIds {
     import spark.implicits._
     // single sortable key: NUL-joined order-preserving encodings of the key
     // columns order byte-identically to the column tuple (keys must be
-    // non-null and NUL-free; integral keys must be non-negative)
+    // non-null and NUL-free). Integral/timestamp keys are sign-bit-biased
+    // (XOR Long.MinValue) then fixed-width-hex encoded: %016x formats the
+    // biased value as unsigned 64-bit hex, so NEGATIVE keys (pre-1970
+    // timestamps, negative ids) sort by magnitude too — "%019d" would have
+    // put '-…' strings before '0…' regardless of value.
     import org.apache.spark.sql.types._
+    def signedHex(c: _root_.org.apache.spark.sql.Column) =
+      format_string("%016x", c.bitwiseXOR(lit(Long.MinValue)))
     val sortable = keyColumns.map { k =>
       df.schema(k).dataType match {
         case StringType => col(k)
         case ByteType | ShortType | IntegerType | LongType =>
-          format_string("%019d", col(k).cast("long"))
-        case TimestampType => format_string("%019d", unix_micros(col(k)))
-        case DateType      => format_string("%019d", col(k).cast("long"))
+          signedHex(col(k).cast("long"))
+        case TimestampType => signedHex(unix_micros(col(k)))
+        case DateType      => signedHex(col(k).cast("long"))
         case _             => col(k).cast("string")
       }
     }
@@ -417,23 +423,36 @@ object IndexBuilder {
           case _: TextField =>
             val text = row.getString(ci)
             val toks = analyzer.tokens(text)
-            val dlq = SmallFloat.quantizeLength(toks.length)
-            val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-            toks.foreach { t =>
-              byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
-            }
-            val sentinel = TermDoc(name, "", docId, 0, dlq, null)
-            Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ps) =>
-              TermDoc(name, term, docId, ps.length, dlq,
-                if (withPos) PostingCodec.encodePositions(ps.toArray) else null)
+            // Lucene CollectionStatistics.docCount only counts docs with at
+            // least one indexed term for the field: a non-null value that
+            // analyzes to zero tokens contributes NO sentinel (else idf on
+            // corpora containing empty strings would diverge).
+            if (toks.isEmpty) Iterator.empty
+            else {
+              val dlq = SmallFloat.quantizeLength(toks.length)
+              val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+              toks.foreach { t =>
+                byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+              }
+              val sentinel = TermDoc(name, "", docId, 0, dlq, null)
+              Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ps) =>
+                TermDoc(name, term, docId, ps.length, dlq,
+                  if (withPos) PostingCodec.encodePositions(ps.toArray) else null)
+              }
             }
           case KeywordField =>
+            // "" is reserved as the norms sentinel, so empty-string keyword
+            // values are skipped like nulls (documented divergence)
             val values: Seq[String] =
-              if (arrayKeyword(name)) row.getSeq[String](ci) else Seq(row.getString(ci))
+              (if (arrayKeyword(name)) row.getSeq[String](ci) else Seq(row.getString(ci)))
+                .filter(v => v != null && v.nonEmpty)
             // omitNorms semantics: dlq=0 → BM25 uses K = k1 (norm-free).
-            val sentinel = TermDoc(name, "", docId, 0, 0, null)
-            Iterator.single(sentinel) ++ values.distinct.iterator.map { v =>
-              TermDoc(name, v, docId, values.count(_ == v), 0, null)
+            if (values.isEmpty) Iterator.empty
+            else {
+              val sentinel = TermDoc(name, "", docId, 0, 0, null)
+              Iterator.single(sentinel) ++ values.distinct.iterator.map { v =>
+                TermDoc(name, v, docId, values.count(_ == v), 0, null)
+              }
             }
           case NestedField(sep) =>
             val names = nestedNames(name)

@@ -35,6 +35,13 @@ object MultiIndex {
         k -> FieldStats(x.docCount + y.docCount, x.sumTotalTermFreq + y.sumTotalTermFreq)
       }.toMap
     }
-    new Index(spark, indexes.head.schema, docs, blocks, termDict, stats)
+    // per-reader liveDocs survive the union (reference MultiSearcher respects
+    // each subreader's tombstones): rebase each index's deleted docIds by its
+    // offset and carry the union
+    val rebasedDeletes = indexes.zip(offsets).flatMap { case (ix, off) =>
+      ix.deletes.map(d => d.select((col("docId") + off).as("docId")))
+    }
+    val deletes = rebasedDeletes.reduceOption(_ unionByName _).map(_.distinct())
+    new Index(spark, indexes.head.schema, docs, blocks, termDict, stats, deletes)
   }
 }

@@ -40,7 +40,12 @@ final case class TermRange(field: String, lower: Option[String], upper: Option[S
     includeLower: Boolean = true, includeUpper: Boolean = false) extends Query
 final case class Wildcard(field: String, pattern: String) extends Query
 final case class Regexp(field: String, pattern: String) extends Query
-final case class Fuzzy(field: String, term: String, maxEdits: Int = 2) extends Query
+/** Fuzzy term expansion with Lucene FuzzyQuery defaults: maxEdits 2,
+  * no required common prefix, adjacent transposition = one edit
+  * (queries.py:116-119).
+  */
+final case class Fuzzy(field: String, term: String, maxEdits: Int = 2,
+    prefixLength: Int = 0, transpositions: Boolean = true) extends Query
 /** Numeric point-set over a docvalue column (queries.py:136-141). */
 final case class Points(field: String, values: Seq[Double]) extends Query
 /** Multi-interval numeric range over a docvalue column (queries.py:143-170). */

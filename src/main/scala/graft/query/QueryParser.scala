@@ -207,7 +207,15 @@ final class QueryParser(defaultField: String, analyzer: Analyzer, op: String = "
               val terms = analyzer.terms(text)
               if (terms.isEmpty) NoDocs
               else if (terms.length == 1) Term(field, terms.head)
-              else Phrase(field, terms.map(Some(_)), 0)
+              else {
+                // Lucene classic default (autoGeneratePhraseQueries=false): a
+                // bare word that analyzes into several tokens (hyphens,
+                // camelCase under the code analyzer) becomes a BooleanQuery
+                // of the tokens under the default operator — NOT an exact
+                // phrase, which would be stricter than the reference.
+                val occ = if (must) Occur.Must else Occur.Should
+                Bool(terms.map(t => occ -> (Term(field, t): Query)))
+              }
             }
         }
         withBoost(q, b)

@@ -132,6 +132,30 @@ class CodecSpec extends AnyFunSuite {
     assert(p.parse("boosted^2.5") === Boost(Term("f", "boosted"), 2.5))
   }
 
+  test("parser: multi-token bare word → Bool under default op (autoGeneratePhraseQueries=false)") {
+    import graft.query._
+    val p = new QueryParser("f", graft.analysis.Analyzers.standard)
+    assert(p.parse("well-known") ===
+      Bool(Seq(Occur.Should -> Term("f", "well"), Occur.Should -> Term("f", "known"))))
+    val pAnd = new QueryParser("f", graft.analysis.Analyzers.standard, op = "and")
+    assert(pAnd.parse("well-known") ===
+      Bool(Seq(Occur.Must -> Term("f", "well"), Occur.Must -> Term("f", "known"))))
+    // quoted input still parses as a phrase
+    assert(p.parse("\"well known\"") ===
+      Phrase("f", Seq(Some("well"), Some("known")), 0))
+  }
+
+  test("EditDistance.damerau: OSA semantics (transposition = 1 edit)") {
+    import graft.util.EditDistance.damerau
+    assert(damerau("spark", "spark") === 0)
+    assert(damerau("sprak", "spark") === 1) // adjacent transposition
+    assert(damerau("sprak", "sparks") === 2)
+    assert(damerau("", "abc") === 3 && damerau("abc", "") === 3)
+    assert(damerau("kitten", "sitting") === 3) // plain levenshtein agrees
+    assert(damerau("ca", "abc") === 3) // RESTRICTED: no edit inside a transposed pair
+    assert(damerau("ab", "ba") === 1)
+  }
+
   test("analyzers: standard, whitespace, code") {
     import graft.analysis.Analyzers
     assert(Analyzers.standard.terms("Hello, World! don't U.S.C. x_1").toSeq ===

@@ -197,4 +197,45 @@ class EngineSpec extends SparkTestBase {
     val top2 = searcher.search(Term("content", "world") | Term("content", "hello"), 2).collect().map(_.getLong(0))
     assert(top2.toSeq === all.take(2).toSeq)
   }
+
+  test("fuzzy: transposed typo matches at distance 1 (FuzzyQuery transpositions=true)") {
+    // 'sprak' → 'spark' is ONE edit under damerau, TWO under plain levenshtein
+    assert(searcher.count(Fuzzy("content", "sprak", 1)) === 2)
+    assert(searcher.count(Fuzzy("content", "sprak", 1, transpositions = false)) === 0)
+    // prefixLength anchors the first chars (no expansion beyond the prefix)
+    assert(searcher.count(Fuzzy("content", "zpark", 1, prefixLength = 1)) === 0)
+    assert(searcher.count(Fuzzy("content", "zpark", 1, prefixLength = 0)) === 2)
+    // suggest ranks through damerau too
+    val sg = searcher.suggest("content", "sprak").collect().map(_.getString(0))
+    assert(sg.head === "spark")
+  }
+
+  test("empty-text values contribute no sentinel: docCount counts docs with ≥1 term") {
+    val s = spark
+    import s.implicits._
+    val src = Seq(
+      ("r", "p0", "c", "en", "hello world"),
+      ("r", "p1", "c", "en", ""),        // analyzes to zero tokens
+      ("r", "p2", "c", "", "hello")      // empty keyword value skipped too
+    ).toDF("repo", "path", "commit", "lang", "content")
+    val idx = IndexBuilder.build(src, schema, 2)
+    assert(idx.fieldStats("content") === FieldStats(2, 3)) // p1 not counted
+    assert(idx.fieldStats("lang").docCount === 2)          // p2's "" skipped
+    val se = new Searcher(idx)
+    // docLengths only lists docs holding the field
+    assert(se.docLengths("content").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L))
+    // BM25 idf uses the corrected docCount: hello df=2 over docCount=2
+    val w = Bm25.idf(2, 2)
+    val hit = se.search(Term("content", "hello"), 1).collect()(0)
+    assert(math.abs(hit.getDouble(1) - Bm25.score(1, 1, w, 1.5)) < 1e-9)
+  }
+
+  test("DocIds: negative integral keys order by magnitude (signed-hex encoding)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(5L, -1L, 0L, -100L, 3L).toDF("k")
+    val ids = graft.index.DocIds.assign(df, Seq("k"), 3)
+      .select("k", "docId").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.sortBy(_._2).map(_._1).toSeq === Seq(-100L, -1L, 0L, 3L, 5L))
+  }
 }

@@ -114,6 +114,20 @@ class LifecycleSpec extends SparkTestBase {
     assert(g.length === 2) // one hit each
   }
 
+  test("multi-index union carries each component's tombstones (offset-rebased)") {
+    val other = IndexBuilder.build(corpus(
+      ("x", "q0", "c", "fr", "bonjour world"),
+      ("x", "q1", "c", "fr", "hello monde")), schema, 2)
+    val delBase = new Searcher(base).delete(Term("lang", "en")).index // docs 0,1 gone
+    val delOther = new Searcher(other).delete(Term("content", "monde")).index // q1 gone
+    val multi = MultiIndex.union(Seq(delBase, delOther))
+    val s = new Searcher(multi)
+    assert(multi.numLiveDocs === 2) // p2 + q0
+    assert(s.count(Term("content", "hello")) === 0) // deleted in BOTH components
+    assert(s.count(Term("content", "bonjour")) === 1)
+    assert(s.count(Term("content", "world")) === 2) // p2 + q0
+  }
+
   test("integrity check passes on a healthy index and counts postings") {
     val (nBlocks, nPostings) = base.check()
     assert(nBlocks > 0)
