@@ -224,6 +224,15 @@ object SparkEntry {
         .search(Near("content", Seq("data", "join"), slop = 3, inOrder = true), 0)
         .select(col("docId").as("docid"))
     }),
+    "q_span_containing" -> ((sp, dir) => {
+      // span algebra: ordered near(data, join, slop 5) spans that CONTAIN a
+      // 'hash' occurrence (SpanContainingQuery; queries.py:236-238)
+      val q = SpanQ.near(Seq(Q.span("content", "data"), Q.span("content", "join")),
+          slop = 5, inOrder = true)
+        .containing(Q.span("content", "hash"))
+      searcher(sp, dir).spans(q)
+        .select(col("docId").as("docid"), size(col("spans")).cast("long").as("n_spans"))
+    }),
     "q_events_facets" -> ((sp, dir) => {
       // calendar window: 2024-01-10 +5 days inclusive (DateTimeField.duration)
       val q = DateTimeRanges.duration("ts",
@@ -466,6 +475,22 @@ object SparkEntry {
          |SELECT p0.docid FROM p0 JOIN p1 USING (docid)
          |WHERE len(list_filter(p0.ps, x -> len(list_filter(p1.ps, y -> y > x AND y <= x + 4)) > 0)) > 0
          |ORDER BY docid""".stripMargin,
+    "q_span_containing" ->
+      // greedy ordered-near chain: for each 'data' position x, the EARLIEST
+      // 'join' position y ≥ x+1; a span exists iff slack (y−x−1) ≤ 5, and it
+      // contains 'hash' iff some hash position p ∈ [x, y]
+      s"""$prelude, pa AS (SELECT docid, list(pos) AS ps FROM tokp WHERE term = 'data' GROUP BY 1),
+         |pb AS (SELECT docid, list(pos) AS ps FROM tokp WHERE term = 'join' GROUP BY 1),
+         |pc AS (SELECT docid, list(pos) AS ps FROM tokp WHERE term = 'hash' GROUP BY 1),
+         |sp AS (
+         |  SELECT pa.docid,
+         |    len(list_filter(pa.ps, x ->
+         |      list_min(list_filter(pb.ps, z -> z >= x + 1)) <= x + 6
+         |      AND len(list_filter(pc.ps, p -> p >= x AND p <= list_min(list_filter(pb.ps, z -> z >= x + 1)))) > 0
+         |    )) AS n
+         |  FROM pa JOIN pb USING (docid) JOIN pc USING (docid)
+         |)
+         |SELECT docid, n AS n_spans FROM sp WHERE n > 0 ORDER BY docid""".stripMargin,
     "q_events_facets" -> {
       val lo = DateTimeRanges.timestamp(Seq(2024, 1, 10))
       val hi = lo + 5 * 86400

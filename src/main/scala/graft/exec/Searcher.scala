@@ -151,8 +151,9 @@ class Searcher(val index: Index) extends Serializable {
         .select(col("docId"),
           (col("mx") + lit(tie) * (col("sm") - col("mx"))).as("score"))
 
-    case p: Phrase => evalPhrase(p)
-    case n: Near   => evalNear(n)
+    case p: Phrase   => evalPhrase(p)
+    case n: Near     => evalNear(n)
+    case SpanWrap(s) => evalSpan(s)
 
     case Prefix(f, p) =>
       constantOverTerms(f, col("term").startsWith(p), 1.0)
@@ -305,21 +306,36 @@ class Searcher(val index: Index) extends Serializable {
     *     blocks: a wider term's block is never decoded unless its docId range
     *     still contains a live candidate.
     */
-  private def positionalMatches(field: String, dfOrder: Seq[String]): Dataset[(Long, Int, Array[Array[Int]])] = {
-    val rarest = dfOrder.head
+  private def positionalMatches(field: String, dfOrder: Seq[String]): Dataset[(Long, Int, Array[Array[Int]])] =
+    positionalMatchesKeys(dfOrder.map((field, _)), Nil)
+
+  /** Keyed variant for span queries: `required` keys (rarest-first) drive the
+    * bucket pruning and the conjunctive intersect; `optional` keys (span-Or
+    * branches, Not-excludes) attach to surviving docs. With no required keys
+    * (pure disjunction) every key's blocks shuffle — no pruning is sound.
+    */
+  private def positionalMatchesKeys(required: Seq[(String, String)], optional: Seq[(String, String)]):
+      Dataset[(Long, Int, Array[Array[Int]])] = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val bucket = shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift)
-    val all = index.blocks.filter(col("field") === field && col("term").isin(dfOrder: _*))
-    val rareBuckets = index.blocks
-      .filter(col("field") === field && col("term") === rarest)
-      .select(bucket.as("__bkt")).distinct()
-    // no broadcast hint: AQE broadcasts when the bucket list is small; at
-    // cluster scale a large rarest term degrades to a shuffled semi-join
-    val order = dfOrder.toArray
-    all.join(rareBuckets, bucket === col("__bkt"), "left_semi")
-      .as[PostingBlock]
+    val keys = required ++ optional
+    val cond = keys.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
+    val all = index.blocks.filter(cond)
+    val pruned = required.headOption match {
+      case Some((rf, rt)) =>
+        val rareBuckets = index.blocks
+          .filter(col("field") === rf && col("term") === rt)
+          .select(bucket.as("__bkt")).distinct()
+        // no broadcast hint: AQE broadcasts when the bucket list is small; at
+        // cluster scale a large rarest term degrades to a shuffled semi-join
+        all.join(rareBuckets, bucket === col("__bkt"), "left_semi").as[PostingBlock]
+      case None => all
+    }
+    val req = required.toArray
+    val opt = optional.toArray
+    pruned
       .repartition(parts, bucket)
-      .mapPartitions(it => PhraseMatcher.intersectPartition(order, it))
+      .mapPartitions(it => PhraseMatcher.intersectKeyed(req, opt, it))
   }
 
   /** (distinct terms rarest-first, their stats) or None when any term is
@@ -371,6 +387,69 @@ class Searcher(val index: Index) extends Serializable {
       .filter(_._2 > 0.0)
     matched.toDF("docId", "freq", "dlq")
       .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), sumWeight, st.avgdl).as("score"))
+  }
+
+  // ------------------------------------------------------------ span algebra
+
+  /** Plan a span query: (required keys rarest-first, optional keys, slot map,
+    * summed idf weight). None ⇒ provably no matches (a required leaf has
+    * df 0 or an unknown field).
+    */
+  private def spanPlan(sq: SpanQ): Option[(Seq[(String, String)], Seq[(String, String)], Map[(String, String), Int], Double)] = {
+    val leaves = SpanQ.leaves(sq).distinct
+    leaves.map(_._1).distinct.foreach(requirePositions)
+    val statsByField: Map[String, Map[String, (Long, Long)]] =
+      leaves.groupBy(_._1).map { case (f, fts) => f -> termStats(f, fts.map(_._2).distinct) }
+    def df(l: (String, String)): Long = statsByField(l._1).getOrElse(l._2, (0L, 0L))._1
+    val requiredSet = SpanQ.requiredLeaves(sq)
+    if (requiredSet.exists(df(_) == 0)) return None
+    val required = requiredSet.toSeq.sortBy(l => (df(l), l._1, l._2))
+    val optional = leaves.filterNot(requiredSet.contains)
+    if (required.isEmpty && optional.forall(df(_) == 0)) return None
+    val slotOf = (required ++ optional).zipWithIndex.toMap
+    // SpanWeight.buildSimWeight sums the similarity weight over ALL terms in
+    // the tree (each against its own field's stats)
+    val w = leaves.map { l =>
+      val d = df(l)
+      index.fieldStats.get(l._1) match {
+        case Some(fs) if d > 0 => Bm25.idf(fs.docCount, d)
+        case _                 => 0.0
+      }
+    }.sum
+    Some((required, optional, slotOf, w))
+  }
+
+  /** Span matches per doc: (docId, [(start, end)…]) — the generic form of
+    * the Near-only `spans` (reference IndexSearcher.spans with a composed
+    * SpanQuery, indexers.py:354-376).
+    */
+  def spans(sq: SpanQ): DataFrame = {
+    val (required, optional, slotOf, _) = spanPlan(sq)
+      .getOrElse(return spark.emptyDataset[(Long, Array[(Int, Int)])].toDF("docId", "spans"))
+    val tree = sq
+    positionalMatchesKeys(required, optional)
+      .map { case (docId, _, lists) =>
+        (docId, SpanEval.eval(tree, slotOf, lists).map(s => (s._1, s._2)))
+      }
+      .filter(_._2.nonEmpty)
+      .toDF("docId", "spans")
+  }
+
+  /** Score a span query: freq = Σ 1/(1+slack) over matches (SpanScorer
+    * shape, identical to the Near scorer on term spans), weight = summed
+    * leaf idf, norms from the span's outer field.
+    */
+  private def evalSpan(sq: SpanQ): DataFrame = {
+    val st = index.fieldStats.getOrElse(sq.field, return emptyMatches)
+    val (required, optional, slotOf, w) = spanPlan(sq).getOrElse(return emptyMatches)
+    val tree = sq
+    val matched = positionalMatchesKeys(required, optional)
+      .map { case (docId, dlq, lists) =>
+        (docId, SpanEval.freq(SpanEval.eval(tree, slotOf, lists)), dlq)
+      }
+      .filter(_._2 > 0.0)
+    matched.toDF("docId", "freq", "dlq")
+      .select(col("docId"), Bm25.scoreCol(col("freq"), col("dlq"), w, st.avgdl).as("score"))
   }
 
   // ----------------------------------------------------------------- search
@@ -814,57 +893,117 @@ object PhraseMatcher {
     * (docId, dlq, positions-per-term-in-`order`-order) for docs containing
     * every term.
     */
-  def intersectPartition(order: Array[String], blocks: Iterator[graft.index.PostingBlock]):
-      Iterator[(Long, Int, Array[Array[Int]])] = {
+  /** Keyed generalization (span queries mask across fields): `required` keys
+    * intersect rarest-first as above; `optional` keys attach their positions
+    * to surviving docs (absent → empty list). With NO required keys the docs
+    * are the union over optional keys (pure span disjunction).
+    * Output lists follow required ++ optional order.
+    */
+  def intersectKeyed(required: Array[(String, String)], optional: Array[(String, String)],
+      blocks: Iterator[graft.index.PostingBlock]): Iterator[(Long, Int, Array[Array[Int]])] = {
     import graft.index.PostingCodec
-    val byTerm = blocks.toArray.groupBy(_.term)
-    if (order.exists(!byTerm.contains(_))) return Iterator.empty
-    val n = order.length
-    val first = byTerm(order(0)).sortBy(_.firstDocId)
-      .flatMap(b => PostingCodec.decodeBlock(b, withPositions = true))
-    var docIds: Array[Long] = first.map(_.docId)
-    var dlqs: Array[Int] = first.map(_.dlq)
-    var poss: Array[Array[Array[Int]]] = first.map { p =>
-      val a = new Array[Array[Int]](n); a(0) = p.positions; a
-    }
-    var k = 1
-    while (k < n && docIds.nonEmpty) {
-      val termBlocks = byTerm(order(k)).sortBy(_.firstDocId)
-      val keep = new scala.collection.mutable.ArrayBuffer[Int](docIds.length)
-      val newPos = new scala.collection.mutable.ArrayBuffer[Array[Int]](docIds.length)
-      var lo = 0
-      var bi = 0
-      while (bi < termBlocks.length && lo < docIds.length) {
-        val b = termBlocks(bi)
-        while (lo < docIds.length && docIds(lo) < b.firstDocId) lo += 1
-        if (lo < docIds.length && docIds(lo) <= b.lastDocId) {
-          val decoded = PostingCodec.decodeBlock(b, withPositions = true)
-          var i = 0
-          var j = lo
-          while (i < decoded.length && j < docIds.length) {
-            val d = decoded(i).docId
-            if (d < docIds(j)) i += 1
-            else if (d > docIds(j)) j += 1
-            else { keep += j; newPos += decoded(i).positions; i += 1; j += 1 }
+    val byKey = blocks.toArray.groupBy(b => (b.field, b.term))
+    val n = required.length + optional.length
+    var docIds: Array[Long] = null
+    var dlqs: Array[Int] = null
+    var poss: Array[Array[Array[Int]]] = null
+    if (required.nonEmpty) {
+      if (required.exists(!byKey.contains(_))) return Iterator.empty
+      val first = byKey(required(0)).sortBy(_.firstDocId)
+        .flatMap(b => PostingCodec.decodeBlock(b, withPositions = true))
+      docIds = first.map(_.docId)
+      dlqs = first.map(_.dlq)
+      poss = first.map { p => val a = new Array[Array[Int]](n); a(0) = p.positions; a }
+      var k = 1
+      while (k < required.length && docIds.nonEmpty) {
+        val termBlocks = byKey(required(k)).sortBy(_.firstDocId)
+        val keep = new scala.collection.mutable.ArrayBuffer[Int](docIds.length)
+        val newPos = new scala.collection.mutable.ArrayBuffer[Array[Int]](docIds.length)
+        var lo = 0
+        var bi = 0
+        while (bi < termBlocks.length && lo < docIds.length) {
+          val b = termBlocks(bi)
+          while (lo < docIds.length && docIds(lo) < b.firstDocId) lo += 1
+          if (lo < docIds.length && docIds(lo) <= b.lastDocId) {
+            val decoded = PostingCodec.decodeBlock(b, withPositions = true)
+            var i = 0
+            var j = lo
+            while (i < decoded.length && j < docIds.length) {
+              val d = decoded(i).docId
+              if (d < docIds(j)) i += 1
+              else if (d > docIds(j)) j += 1
+              else { keep += j; newPos += decoded(i).positions; i += 1; j += 1 }
+            }
+            lo = j // blocks are disjoint ascending: nothing before j can match later
           }
-          lo = j // blocks are disjoint ascending: nothing before j can match later
+          bi += 1
         }
-        bi += 1
+        val m = keep.length
+        val nd = new Array[Long](m); val nq = new Array[Int](m)
+        val np = new Array[Array[Array[Int]]](m)
+        var x = 0
+        while (x < m) {
+          val src = keep(x)
+          nd(x) = docIds(src); nq(x) = dlqs(src)
+          val a = poss(src); a(k) = newPos(x); np(x) = a
+          x += 1
+        }
+        docIds = nd; dlqs = nq; poss = np
+        k += 1
       }
-      val m = keep.length
-      val nd = new Array[Long](m); val nq = new Array[Int](m)
-      val np = new Array[Array[Array[Int]]](m)
-      var x = 0
-      while (x < m) {
-        val src = keep(x)
-        nd(x) = docIds(src); nq(x) = dlqs(src)
-        val a = poss(src); a(k) = newPos(x); np(x) = a
-        x += 1
+    } else {
+      // pure-disjunction doc set: union of the optional keys' postings
+      val acc = scala.collection.mutable.LongMap.empty[(Int, Array[Array[Int]])]
+      var j = 0
+      while (j < optional.length) {
+        byKey.get(optional(j)).foreach(_.foreach { b =>
+          PostingCodec.decodeBlock(b, withPositions = true).foreach { p =>
+            val e = acc.getOrElseUpdate(p.docId, (p.dlq, new Array[Array[Int]](n)))
+            e._2(j) = p.positions
+          }
+        })
+        j += 1
       }
-      docIds = nd; dlqs = nq; poss = np
-      k += 1
+      docIds = acc.keys.toArray.sorted
+      dlqs = docIds.map(acc(_)._1)
+      poss = docIds.map(acc(_)._2)
     }
-    docIds.indices.iterator.map(i => (docIds(i), dlqs(i), poss(i)))
+    if (required.nonEmpty && optional.nonEmpty && docIds.nonEmpty) {
+      var j = 0
+      while (j < optional.length) {
+        val slot = required.length + j
+        byKey.get(optional(j)).foreach { bsAll =>
+          val bs = bsAll.sortBy(_.firstDocId)
+          var lo = 0
+          var bi = 0
+          while (bi < bs.length && lo < docIds.length) {
+            val b = bs(bi)
+            while (lo < docIds.length && docIds(lo) < b.firstDocId) lo += 1
+            if (lo < docIds.length && docIds(lo) <= b.lastDocId) {
+              val decoded = PostingCodec.decodeBlock(b, withPositions = true)
+              var i = 0
+              var jj = lo
+              while (i < decoded.length && jj < docIds.length) {
+                val d = decoded(i).docId
+                if (d < docIds(jj)) i += 1
+                else if (d > docIds(jj)) jj += 1
+                else { poss(jj)(slot) = decoded(i).positions; i += 1; jj += 1 }
+              }
+              lo = jj
+            }
+            bi += 1
+          }
+        }
+        j += 1
+      }
+    }
+    val empty = Array.empty[Int]
+    docIds.indices.iterator.map { i =>
+      val a = poss(i)
+      var x = 0
+      while (x < a.length) { if (a(x) == null) a(x) = empty; x += 1 }
+      (docIds(i), dlqs(i), a)
+    }
   }
 
   /** Exact/sloppy phrase frequency over offset-adjusted position lists. */

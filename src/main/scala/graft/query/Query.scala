@@ -51,6 +51,10 @@ final case class Points(field: String, values: Seq[Double]) extends Query
 /** Multi-interval numeric range over a docvalue column (queries.py:143-170). */
 final case class NumRanges(field: String, intervals: Seq[(Option[Double], Option[Double])],
     includeLower: Boolean = true, includeUpper: Boolean = false) extends Query
+/** Score-bearing wrapper so span queries compose with the boolean algebra
+  * (the span ADT itself lives in Span.scala).
+  */
+final case class SpanWrap(span: SpanQ) extends Query
 case object AllDocs extends Query
 case object NoDocs extends Query
 final case class Boost(q: Query, boost: Double) extends Query
@@ -70,6 +74,8 @@ object Query {
     Phrase(field, values.map(v => if (v == null) None else Some(v)))
   def near(field: String, values: Seq[String], slop: Int = 0, inOrder: Boolean = true): Query =
     Near(field, values, slop, inOrder)
+  /** Span-term entry into the span algebra (queries.py:70-76 Q.span). */
+  def span(field: String, value: String): SpanTerm = SpanTerm(field, value)
   def prefix(field: String, value: String): Query = Prefix(field, value)
   def range(field: String, lower: String, upper: String): Query =
     TermRange(field, Option(lower), Option(upper))
