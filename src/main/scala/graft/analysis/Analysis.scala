@@ -5,15 +5,21 @@ import java.util.regex.Pattern
 /** A single token produced by analysis.
   *
   * Mirrors the attribute surface of the reference's token stream
-  * (charTerm / position / offsets — /root/reference/lupyne/engine/analyzers.py:12-74)
-  * as a plain immutable value.
+  * (charTerm / position / offsets / type / payload —
+  * /root/reference/lupyne/engine/analyzers.py:12-74) as a plain immutable
+  * value.
   *
   * @param term        normalized term text
   * @param pos         token position (ordinal within the field value)
   * @param startOffset character start offset in the original text
   * @param endOffset   character end offset (exclusive)
+  * @param typ         token type attribute (Lucene TypeAttribute; the
+  *                    standard tokenizer stamps "<ALPHANUM>")
+  * @param payload     optional per-position bytes carried into the posting
+  *                    list (Lucene PayloadAttribute)
   */
-final case class Token(term: String, pos: Int, startOffset: Int, endOffset: Int)
+final case class Token(term: String, pos: Int, startOffset: Int, endOffset: Int,
+    typ: String = "<ALPHANUM>", payload: Array[Byte] = null)
 
 /** Analyzer = tokenizer + filter chain, composed as pure Scala functions
   * (reference: Analyzer(tokenizer, *filters) at
@@ -38,6 +44,40 @@ trait Analyzer extends Serializable {
     * rewrites before tokenizing, like the code analyzer's camelCase split).
     */
   def preprocess(text: String): String = text
+
+  /** Whether this analyzer's filter chain attaches payloads — when true, the
+    * index build encodes a payload entry per position for every field using
+    * it (uniform per field, so posting blocks never mix payload layouts).
+    */
+  def producesPayloads: Boolean = false
+}
+
+/** Analyzer + token-filter chain (the reference's custom-TokenFilter
+  * extension point, analyzers.py:77-90; payload example pinned at
+  * tests/test_engine.py:15-21,34-52). Filters are plain `Token => Token`
+  * functions applied in order.
+  */
+final class ChainAnalyzer(
+    val name: String,
+    base: Analyzer,
+    filters: Seq[Token => Token],
+    override val producesPayloads: Boolean = false
+) extends Analyzer {
+  override def preprocess(text: String): String = base.preprocess(text)
+  override def tokens(text: String): IndexedSeq[Token] =
+    base.tokens(text).map(t => filters.foldLeft(t)((x, f) => f(x)))
+}
+
+object TokenFilters {
+
+  /** Lucene TypeAsPayloadTokenFilter: stamp the token type into the payload
+    * (the reference test's custom filter, tests/test_engine.py:15-21).
+    */
+  val typeAsPayload: Token => Token =
+    t => t.copy(payload = if (t.typ == null) null else t.typ.getBytes("UTF-8"))
+
+  /** PorterStemFilter as a chain stage. */
+  val porterStem: Token => Token = t => t.copy(term = PorterStemmer.stem(t.term))
 }
 
 /** Regex-driven analyzer: extract matches of `pattern`, optionally lowercase.
@@ -108,7 +148,20 @@ object Analyzers {
     pre = (s: String) => s.replaceAll(codePreRegex, "$1 $2").replace('_', ' ')
   )
 
-  val byName: Map[String, Analyzer] =
-    Map("standard" -> standard, "whitespace" -> whitespace, "code" -> code,
-      "porter" -> StemmingAnalyzer)
+  private val registry = scala.collection.concurrent.TrieMap[String, Analyzer](
+    "standard" -> standard, "whitespace" -> whitespace, "code" -> code,
+    "porter" -> StemmingAnalyzer)
+
+  /** Resolve an analyzer by registered name (schemas store names so they
+    * serialize into index manifests).
+    */
+  def byName(name: String): Analyzer = registry.getOrElse(name,
+    throw new IllegalArgumentException(s"unknown analyzer '$name' — register it first"))
+
+  /** Register a custom analyzer/filter-chain under a name (the reference's
+    * pluggable-Analyzer extension point). Names resolve at plan time on the
+    * driver; the resolved analyzer object itself ships serialized inside
+    * task closures, so executors never consult this registry.
+    */
+  def register(a: Analyzer): Unit = registry.put(a.name, a)
 }

@@ -765,6 +765,22 @@ class Searcher(val index: Index) extends Serializable {
     td.select(cols: _*).orderBy("term")
   }
 
+  /** Postings of one term with per-doc position lists, optionally with the
+    * per-position payload bytes (reference IndexReader.positions,
+    * indexers.py:256-275; payload pinned at tests/test_engine.py:52).
+    */
+  def positions(field: String, term: String, payloads: Boolean = false): DataFrame = {
+    val filtered = index.blocks.filter(col("field") === field && col("term") === term)
+    if (payloads)
+      filtered.flatMap(b => PostingCodec.decodeBlock(b, withPositions = true, withPayloads = true)
+          .map(p => (p.docId, p.positions, if (p.payloads == null) null else p.payloads.toSeq)))
+        .toDF("docId", "positions", "payloads")
+    else
+      filtered.flatMap(b => PostingCodec.decodeBlock(b, withPositions = true)
+          .map(p => (p.docId, p.positions)))
+        .toDF("docId", "positions")
+  }
+
   /** Quantized per-doc field lengths (norms sidecar: sentinel-term blocks). */
   def docLengths(field: String): DataFrame =
     postings(field, "").toDF().select(col("docId"), col("dlq"))

@@ -66,6 +66,10 @@ object VByte {
   *  - normsBlob:     quantized field length per doc
   *  - positionsBlob: per doc, `freq` position deltas (first = absolute);
   *                   empty array when positions are not indexed
+  *  - payloadsBlob:  per doc, `freq` length-prefixed byte strings (vbyte len
+  *                   + bytes); empty array when the field's analyzer carries
+  *                   no payloads — a field either always encodes payload
+  *                   entries or never does, so blocks stay aligned
   */
 final case class PostingBlock(
     field: String,
@@ -79,18 +83,21 @@ final case class PostingBlock(
     docsBlob: Array[Byte],
     freqsBlob: Array[Byte],
     normsBlob: Array[Byte],
-    positionsBlob: Array[Byte]
+    positionsBlob: Array[Byte],
+    payloadsBlob: Array[Byte] = Array.empty
 )
 
 /** One decoded posting entry. */
-final case class Posting(docId: Long, tf: Int, dlq: Int, positions: Array[Int])
+final case class Posting(docId: Long, tf: Int, dlq: Int, positions: Array[Int],
+    payloads: Array[Array[Byte]] = null)
 
-/** One raw posting as it flows through the build shuffle: positions are
-  * ALREADY delta-VByte-encoded by the tokenize pass (first delta absolute),
-  * so the block encoder just concatenates them — the shuffle carries compact
-  * bytes, not int arrays.
+/** One raw posting as it flows through the build shuffle: positions (and
+  * payloads) are ALREADY VByte-encoded by the tokenize pass, so the block
+  * encoder just concatenates them — the shuffle carries compact bytes, not
+  * int arrays.
   */
-final case class RawPosting(docId: Long, tf: Int, dlq: Int, posBlob: Array[Byte])
+final case class RawPosting(docId: Long, tf: Int, dlq: Int, posBlob: Array[Byte],
+    payBlob: Array[Byte] = null)
 
 object PostingCodec {
   val BlockSize = 128
@@ -109,13 +116,38 @@ object PostingCodec {
     out.toArray
   }
 
+  /** Length-prefix-encode one doc's per-position payloads (null entry ⇒
+    * length 0). Returns null when `payloads` itself is null (field without
+    * payloads).
+    */
+  def encodePayloads(payloads: Array[Array[Byte]]): Array[Byte] = {
+    if (payloads == null) return null
+    val out = new ArrayBuffer[Byte](payloads.length * 2)
+    var i = 0
+    while (i < payloads.length) {
+      val p = payloads(i)
+      if (p == null) VByte.writeInt(0, out)
+      else {
+        VByte.writeInt(p.length, out)
+        out ++= p
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Encode one ≤BlockSize run of raw postings (ascending docId). */
   def encodeRaw(field: String, term: String, run: Seq[RawPosting]): PostingBlock = {
     require(run.nonEmpty && run.length <= BlockSize)
+    // payload layout is all-or-none per (field, term) run — guaranteed by the
+    // tokenize pass (an analyzer either always carries payloads or never)
+    require(run.forall(_.payBlob == null) || run.forall(_.payBlob != null),
+      s"mixed payload layout in $field:$term")
     val docs = new ArrayBuffer[Byte](run.length * 2)
     val freqs = new ArrayBuffer[Byte](run.length)
     val norms = new ArrayBuffer[Byte](run.length)
     val poss = new ArrayBuffer[Byte]()
+    val pays = new ArrayBuffer[Byte]()
     var prevDoc = run.head.docId
     var maxTf = 0
     var sumTf = 0L
@@ -129,19 +161,21 @@ object PostingCodec {
       VByte.writeInt(p.tf, freqs)
       VByte.writeInt(p.dlq, norms)
       if (p.posBlob != null) poss ++= p.posBlob
+      if (p.payBlob != null) pays ++= p.payBlob
       if (p.tf > maxTf) maxTf = p.tf
       sumTf += p.tf
       if (p.dlq < minDlq) minDlq = p.dlq
       i += 1
     }
     PostingBlock(field, term, run.head.docId, run.last.docId, run.length, maxTf, sumTf, minDlq,
-      docs.toArray, freqs.toArray, norms.toArray, poss.toArray)
+      docs.toArray, freqs.toArray, norms.toArray, poss.toArray, pays.toArray)
   }
 
   /** Encode from decoded postings (tests/small paths). */
   def encodeBlock(field: String, term: String, run: Seq[Posting]): PostingBlock =
     encodeRaw(field, term,
-      run.map(p => RawPosting(p.docId, p.tf, p.dlq, encodePositions(p.positions))))
+      run.map(p => RawPosting(p.docId, p.tf, p.dlq, encodePositions(p.positions),
+        encodePayloads(p.payloads))))
 
   /** Split an ascending posting iterator for one (field, term) run into
     * encoded blocks of BlockSize.
@@ -178,13 +212,18 @@ object PostingCodec {
     out
   }
 
-  /** Decode a block. `withPositions=false` skips position materialization. */
-  def decodeBlock(b: PostingBlock, withPositions: Boolean): Array[Posting] = {
+  /** Decode a block. `withPositions=false` skips position materialization;
+    * `withPayloads=true` additionally materializes per-position payloads.
+    */
+  def decodeBlock(b: PostingBlock, withPositions: Boolean,
+      withPayloads: Boolean = false): Array[Posting] = {
     val docs = new VByte.Reader(b.docsBlob)
     val freqs = new VByte.Reader(b.freqsBlob)
     val norms = new VByte.Reader(b.normsBlob)
     val poss = new VByte.Reader(b.positionsBlob)
     val hasPos = b.positionsBlob.nonEmpty
+    val hasPay = withPayloads && b.payloadsBlob != null && b.payloadsBlob.nonEmpty
+    var payAt = 0
     val out = new Array[Posting](b.numDocs)
     var doc = b.firstDocId
     var i = 0
@@ -200,9 +239,36 @@ object PostingCodec {
           while (j < tf) { prev += poss.readInt(); arr(j) = prev; j += 1 }
           if (withPositions) arr else null
         } else null
-      out(i) = Posting(doc, tf, dlq, positions)
+      val payloads: Array[Array[Byte]] =
+        if (hasPay) {
+          val arr = new Array[Array[Byte]](tf)
+          var j = 0
+          while (j < tf) {
+            val len = readVInt(b.payloadsBlob, payAt)
+            payAt = len._2
+            arr(j) = java.util.Arrays.copyOfRange(b.payloadsBlob, payAt, payAt + len._1)
+            payAt += len._1
+            j += 1
+          }
+          arr
+        } else null
+      out(i) = Posting(doc, tf, dlq, positions, payloads)
       i += 1
     }
     out
+  }
+
+  /** Read one vbyte int at `at`; returns (value, position after). */
+  private def readVInt(bytes: Array[Byte], at: Int): (Int, Int) = {
+    var v = 0L
+    var shift = 0
+    var p = at
+    var b = bytes(p); p += 1
+    while ((b & 0x80) == 0) {
+      v |= (b & 0x7fL) << shift
+      shift += 7
+      b = bytes(p); p += 1
+    }
+    ((v | ((b & 0x7fL) << shift)).toInt, p)
   }
 }

@@ -330,10 +330,11 @@ object IndexManifest {
 object IndexBuilder {
 
   /** One (field, term, doc) occurrence row — the unit that shuffles.
-    * Positions ship pre-delta-VByte-encoded (compact bytes, not int arrays).
+    * Positions (and payloads) ship pre-VByte-encoded (compact bytes, not
+    * arrays of arrays).
     */
   final case class TermDoc(field: String, term: String, docId: Long, freq: Int, dlq: Int,
-      posBlob: Array[Byte])
+      posBlob: Array[Byte], payBlob: Array[Byte] = null)
 
   /** Docs-per-salt-bucket shift: posting blocks never span a bucket, so a hot
     * term's postings build in parallel across `numDocs / 2^shift` tasks with
@@ -429,15 +430,19 @@ object IndexBuilder {
             // corpora containing empty strings would diverge).
             if (toks.isEmpty) Iterator.empty
             else {
+              val withPay = analyzer.producesPayloads
               val dlq = SmallFloat.quantizeLength(toks.length)
-              val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+              val byTerm = scala.collection.mutable.LinkedHashMap
+                .empty[String, scala.collection.mutable.ArrayBuffer[graft.analysis.Token]]
               toks.foreach { t =>
-                byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty[Int]) += t.pos
+                byTerm.getOrElseUpdate(t.term,
+                  scala.collection.mutable.ArrayBuffer.empty[graft.analysis.Token]) += t
               }
               val sentinel = TermDoc(name, "", docId, 0, dlq, null)
-              Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ps) =>
-                TermDoc(name, term, docId, ps.length, dlq,
-                  if (withPos) PostingCodec.encodePositions(ps.toArray) else null)
+              Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ts) =>
+                TermDoc(name, term, docId, ts.length, dlq,
+                  if (withPos) PostingCodec.encodePositions(ts.map(_.pos).toArray) else null,
+                  if (withPay) PostingCodec.encodePayloads(ts.map(_.payload).toArray) else null)
               }
             }
           case KeywordField =>
@@ -520,7 +525,7 @@ object IndexBuilder {
         val buf = scala.collection.mutable.ArrayBuffer.empty[RawPosting]
         while (cur != null && buf.length < PostingCodec.BlockSize &&
             cur.field == f && cur.term == t && (cur.docId >>> saltShift) == bucket) {
-          buf += RawPosting(cur.docId, cur.freq, cur.dlq, cur.posBlob)
+          buf += RawPosting(cur.docId, cur.freq, cur.dlq, cur.posBlob, cur.payBlob)
           cur = if (rows.hasNext) rows.next() else null
         }
         PostingCodec.encodeRaw(f, t, buf.toSeq)

@@ -21,6 +21,9 @@ import graft.streaming.StreamingIndexer
   * the bulk paths use ([[IndexBuilder]], [[CheckpointedBuild]],
   * [[graft.streaming.StreamingIndexer]]).
   */
+/** A pinned commit: the segment ids visible when [[Indexer.snapshot]] ran. */
+final case class IndexPin(segmentIds: Seq[Long])
+
 final class Indexer(
     val spark: SparkSession,
     val dir: String,
@@ -46,6 +49,49 @@ final class Indexer(
   def update(matchQ: Query, doc: (String, Any)*): Unit = {
     delete(matchQ)
     add(doc: _*)
+  }
+
+  /** Docvalues-only update fast path (IndexWriter.update →
+    * updateDocValues when no indexed/stored field changes,
+    * /root/reference/lupyne/engine/indexers.py:563-576; behavior pinned at
+    * tests/test_engine.py:695-704): rewrite doc-store COLUMNS for docs
+    * matching the query, leaving every posting block untouched — no
+    * reindex, no new segment. Persisted as a generation-ordered column-
+    * update sidecar applied at open (Lucene's docvalues-update "dv gen"
+    * files, Spark-shaped); later generations win.
+    */
+  def updateDocValues(matchQ: Query, values: (String, Any)*): Unit = {
+    val indexed = values.map(_._1).filter(schema.fields.contains)
+    require(indexed.isEmpty,
+      s"fields ${indexed.mkString(", ")} are indexed — use update() (delete + re-add)")
+    val ids = searcher.eval(matchQ).select("docId").collect().map(_.getLong(0))
+    if (ids.isEmpty) return
+    val st = StructType(
+      org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType,
+        nullable = false) +: values.map(v => sourceSchema(v._1)))
+    val rows = ids.toSeq.map(id => Row.fromSeq(id +: values.map(_._2)))
+    val gen = {
+      val p = new Path(s"$dir/dvupdates")
+      if (!fs.exists(p)) 0 else fs.listStatus(p).length
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
+      .write.mode("overwrite").parquet(f"$dir/dvupdates/gen=$gen%06d")
+    refresh()
+  }
+
+  /** Apply the docvalues-update sidecar generations, oldest first. */
+  private def applyDvUpdates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = new Path(s"$dir/dvupdates")
+    if (!fs.exists(p)) return docs
+    val gens = fs.listStatus(p).map(_.getPath).sortBy(_.getName)
+    gens.foldLeft(docs) { (d, g) =>
+      val u = spark.read.parquet(g.toString)
+      val ucols = u.columns.filterNot(_ == "docId").toSeq
+      val renamed = ucols.foldLeft(u)((x, c) => x.withColumnRenamed(c, s"__upd_$c"))
+      val joined = d.join(broadcast(renamed), Seq("docId"), "left")
+      ucols.foldLeft(joined)((x, c) => x.withColumn(c, coalesce(col(s"__upd_$c"), col(c))))
+        .drop(ucols.map(c => s"__upd_$c"): _*)
+    }
   }
 
   private def nextSegId: Long =
@@ -90,13 +136,45 @@ final class Indexer(
       return s
     }
     val base = StreamingIndexer.open(spark, dir, schema)
+    val withDv = new Index(spark, base.schema, applyDvUpdates(base.docs), base.blocks,
+      base.termDict, base.fieldStats)
     val idx =
       if (fs.exists(new Path(s"$dir/deletes")))
-        base.withDeletes(spark.read.parquet(s"$dir/deletes"))
-      else base
+        withDv.withDeletes(spark.read.parquet(s"$dir/deletes"))
+      else withDv
     val s = new Searcher(idx)
     cachedSearcher = Some(s)
     s
+  }
+
+  /** Pin the current commit (reference IndexWriter.snapshot,
+    * indexers.py:594-601): segments are immutable directories, so a pin is
+    * just the set of committed segment ids — the writer keeps advancing and
+    * the pinned files stay valid (nothing deletes committed segments).
+    */
+  def snapshot(): IndexPin =
+    if (!fs.exists(new Path(s"$dir/segments"))) IndexPin(Seq.empty)
+    else IndexPin(spark.read.parquet(s"$dir/segments")
+      .select("segmentId").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq)
+
+  /** Copy a pinned commit to `dst` as a standalone index directory
+    * (reference `engine.indexers.copy(commit, path)`,
+    * indexers.py:60-77 / tests/test_engine.py:265-273) — only the pinned
+    * segments' files are copied; segments committed after the pin are not.
+    */
+  def copy(pin: IndexPin, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    pin.segmentIds.foreach { id =>
+      Seq("docs", "postings").foreach { sub =>
+        val src = new Path(s"$dir/$sub/segment=$id")
+        if (!fs.exists(src)) throw new java.io.IOException(s"pinned segment missing: $src")
+        org.apache.hadoop.fs.FileUtil.copy(fs, src,
+          fs, new Path(s"$dst/$sub/segment=$id"), false, conf)
+      }
+    }
+    spark.read.parquet(s"$dir/segments")
+      .filter(col("segmentId").isin(pin.segmentIds.map(_.toInt): _*))
+      .write.mode("overwrite").parquet(s"$dst/segments")
   }
 
   def refresh(): Unit = cachedSearcher = None

@@ -57,4 +57,72 @@ class IndexerFacadeSpec extends SparkTestBase {
     assert(r.count(Term("content", "flink")) === 1L)
     assert(r.searcher.index.numLiveDocs === 3L)
   }
+
+  /** Every file under dir/postings with its length (byte-identity witness). */
+  private def postingFiles(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(dir, "postings")
+    val out = Map.newBuilder[String, Long]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out += root.relativize(p).toString -> java.nio.file.Files.size(p)
+    }
+    out.result()
+  }
+
+  test("docvalues-only update: columns change, posting blocks byte-identical (indexers.py:563-576)") {
+    val dir = Files.createTempDirectory("graft-dvup").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha beta")
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "de", "content" -> "alpha gamma")
+    w.commit()
+    val before = postingFiles(dir)
+    val segsBefore = spark.read.parquet(s"$dir/segments").count()
+
+    // 'lang' rides in the doc store but is INDEXED → must be rejected
+    intercept[IllegalArgumentException] {
+      w.updateDocValues(Term("content", "beta"), "lang" -> "fr")
+    }
+    // 'commit' is a pure docvalue column → fast path
+    w.updateDocValues(Term("content", "beta"), "commit" -> "c999")
+    assert(postingFiles(dir) === before) // no reindex, byte-identical postings
+    assert(spark.read.parquet(s"$dir/segments").count() === segsBefore) // no new segment
+    val vals = w.searcher.index.docs.orderBy("docId").select("commit").collect().map(_.getString(0))
+    assert(vals.toSeq === Seq("c999", "c")) // p0 matched 'beta'
+    // sort over the updated docvalue sees the new value
+    val top = w.searcher.search(Term("content", "alpha"), 1,
+      sorts = Seq(graft.exec.SortSpec("commit", descending = true))).collect()(0)
+    assert(top.getLong(0) === 0L)
+    // later generations win
+    w.updateDocValues(Term("content", "beta"), "commit" -> "c42")
+    assert(w.searcher.index.docs.filter(org.apache.spark.sql.functions.col("docId") === 0L)
+      .select("commit").collect()(0).getString(0) === "c42")
+    // durable across a fresh handle
+    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    assert(r.searcher.index.docs.orderBy("docId").select("commit")
+      .collect().map(_.getString(0)).toSeq === Seq("c42", "c"))
+  }
+
+  test("snapshot pin + copy while the writer advances (indexers.py:594-601)") {
+    val dir = Files.createTempDirectory("graft-pin").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "one two")
+    w.commit()
+    val pin = w.snapshot()
+    assert(pin.segmentIds === Seq(0L))
+
+    // writer advances past the pin
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "en", "content" -> "three four")
+    w.commit()
+    assert(w.searcher.index.numDocs === 2L)
+
+    // the pinned commit copies to a standalone index with only segment 0
+    val dst = Files.createTempDirectory("graft-pin-dst").toString
+    w.copy(pin, dst)
+    val r = new Indexer(spark, dst, idxSchema, srcSchema)
+    assert(r.searcher.index.numDocs === 1L)
+    assert(r.count(Term("content", "two")) === 1L)
+    assert(r.count(Term("content", "three")) === 0L)
+    // source unaffected
+    assert(w.count(Term("content", "three")) === 1L)
+  }
 }
