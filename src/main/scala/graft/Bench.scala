@@ -99,6 +99,17 @@ object Bench {
     val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (1 to 3).map(_ => runOnce(name, fn)).min
     }
+    // md5 (oracle-checkable) vs xxh64 (production) minhash signature pass
+    val (minhashMd5Sec, minhashXxSec) = {
+      import org.apache.spark.sql.functions.col
+      val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
+      def pass(sig: org.apache.spark.sql.Column) =
+        (1 to 2).map(_ => time(sh.select(sig.as("s"))
+          .agg(org.apache.spark.sql.functions.count("s")).collect())).min
+      (pass(graft.ops.Dedup.minhash(col("sh"), 8)),
+        pass(graft.ops.Dedup.minhashXx(col("sh"), 8)))
+    }
     spark.stop()
     SparkEntry.clearCache()
 
@@ -131,6 +142,7 @@ object Bench {
     if (searchVals.nonEmpty)
       json.append(s""","search_p50_sec":${num(pct(searchVals, 0.5))},"search_p99_sec":${num(pct(searchVals, 0.99))}""")
     json.append(s""","index_build_sec":${num(buildSec)}""")
+    json.append(s""","minhash_md5_sec":${num(minhashMd5Sec)},"minhash_xxh_sec":${num(minhashXxSec)}""")
     if (doScaling) {
       json.append(s""","build_docs":$benchDocs""")
       json.append(s""","build_docs_per_sec_local$scaleN":${num(rate8, 1)}""")

@@ -40,17 +40,54 @@ object Ann {
       when(dot(vec, hc) > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** LSH-pruned top-k: filter to the query's sign bucket, then exact cosine
-    * re-rank. Recall < 1 by construction; the scale win is scanning
-    * ~1/2^H of the corpus.
-    */
-  def topkLsh(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
-      hyperplanes: Seq[Seq[Float]], k: Int): DataFrame = {
-    val qBucket = hyperplanes.zipWithIndex.map { case (h, i) =>
+  /** Driver-side bucket id of a query vector. */
+  def queryBucket(query: Seq[Float], hyperplanes: Seq[Seq[Float]]): Long =
+    hyperplanes.zipWithIndex.map { case (h, i) =>
       val d = h.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
       if (d > 0) 1L << i else 0L
     }.sum
-    df.filter(signBucket(col(vecCol), hyperplanes) === qBucket)
+
+  /** LSH-pruned top-k: filter to the query's sign bucket, then exact cosine
+    * re-rank. Recall < 1 by construction; the scale win is scanning
+    * ~1/2^H of the corpus. NOTE: this form recomputes signBucket per scan —
+    * fine for one-off queries; a query-serving deployment should
+    * [[buildLshIndex]] once and use [[topkLshIndexed]].
+    */
+  def topkLsh(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+      hyperplanes: Seq[Seq[Float]], k: Int): DataFrame = {
+    df.filter(signBucket(col(vecCol), hyperplanes) === queryBucket(query, hyperplanes))
+      .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Materialize the sign bucket as a stored, layout-defining column: rows
+    * are range-partitioned and sorted by `bucket`, so a per-bucket query
+    * prunes whole parquet files via min/max stats instead of recomputing H
+    * dot products per row per query — the at-scale serving shape (IVF-style
+    * inverted file over buckets).
+    */
+  def buildLshIndex(df: DataFrame, idCol: String, vecCol: String,
+      hyperplanes: Seq[Seq[Float]], dir: String): Unit =
+    df.withColumn("bucket", signBucket(col(vecCol), hyperplanes))
+      .repartitionByRange(col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(dir)
+
+  /** Top-k against a [[buildLshIndex]] layout: the bucket filter is a plain
+    * stored-column predicate (pushed to the scan), then exact re-rank.
+    * `probes` > 1 additionally searches the nearest buckets by Hamming
+    * distance on the bucket id (multi-probe LSH recall knob).
+    */
+  def topkLshIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String, query: Seq[Float],
+      hyperplanes: Seq[Seq[Float]], k: Int, probes: Int = 1): DataFrame = {
+    val qb = queryBucket(query, hyperplanes)
+    val buckets: Seq[Long] =
+      if (probes <= 1) Seq(qb)
+      else qb +: (0 until hyperplanes.length).map(i => qb ^ (1L << i)).take(probes - 1)
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
       .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)

@@ -67,19 +67,115 @@ object Dedup {
     * sharing any band bucket become candidate pairs via a self-equi-join on
     * the band key (a plain shuffle join — broadcast-able when buckets are
     * small, AQE-skew-splittable when a bucket is hot).
+    *
+    * Hot-bucket guard: a bucket with more than `maxBucketSize` members
+    * (mass-boilerplate corpora: license headers, templated pages) goes
+    * QUADRATIC inside the self-join. With the cap, oversized buckets are
+    * dropped from candidate generation and the drop is logged LOUDLY (never
+    * silent). Recall trade-off: a pair is lost only if EVERY band bucket it
+    * shares is over the cap — members of a dropped bucket still pair
+    * through their other bands. 0 = uncapped.
     */
-  def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
     val banded = df.filter(size(col(sigCol)) > 0).select(col(idCol).as("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             concat_ws("|", slice(col(sigCol), b * (size(col(sigCol)) / bands) + 1,
               (size(col(sigCol)) / bands))).as("key")))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val pruned =
+      if (maxBucketSize <= 0) banded
+      else {
+        val hot = banded.groupBy("band", "key")
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
+        val d = hot.agg(count(lit(1)), coalesce(sum("__bsz"), lit(0L))).collect()(0)
+        if (d.getLong(0) > 0)
+          System.err.println(s"[graft.Dedup] LSH hot-bucket cap $maxBucketSize dropped " +
+            s"${d.getLong(0)} buckets holding ${d.getLong(1)} rows — their pairs only " +
+            "surface via other bands")
+        banded.join(hot.select("band", "key"), Seq("band", "key"), "left_anti")
+      }
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Production MinHash: signature element i = min over shingles of
+    * xxh64(shingle, seed = i), formatted as fixed-width hex so band keys
+    * stay string-typed (drop-in for [[minhash]]'s md5 signatures, ~10×
+    * cheaper — one xxh64 per (shingle, seed) instead of md5 + hex slicing).
+    * Unsigned comparison via the sign-bit flip keeps min well-defined.
+    */
+  def minhashXx(shingles: Column, numHashes: Int): Column = {
+    val n = numHashes
+    val f = udf((sh: Seq[String]) => {
+      if (sh == null) null
+      else {
+        val mins = Array.fill(n)(Long.MaxValue) // over biased (unsigned-order) values
+        sh.foreach { s =>
+          val bytes = s.getBytes("UTF-8")
+          var i = 0
+          while (i < n) {
+            val h = graft.util.XXH64.hash(bytes, i.toLong) ^ Long.MinValue
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        if (sh.isEmpty) Seq.empty[String]
+        else mins.toSeq.map(m => f"${m ^ Long.MinValue}%016x")
+      }
+    })
+    f(shingles)
+  }
+
+  /** 64-bit SimHash over xxh64 token hashes — the production width (the
+    * 16-bit [[simhash]] stays for oracle tractability).
+    */
+  def simhash64(toks: Column): Column = {
+    val f = udf((ts: Seq[String]) => {
+      val votes = new Array[Int](64)
+      if (ts != null) ts.foreach { t =>
+        val h = graft.util.XXH64.hash(t, 0L)
+        var b = 0
+        while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+      out
+    })
+    f(toks)
+  }
+
+  /** Banded Hamming-distance neighbor join over a 64-bit simhash column:
+    * split the hash into `bands` chunks; by pigeonhole, any pair within
+    * Hamming distance `bands − 1` shares at least one exact chunk, so
+    * candidates come from `bands` equi-joins (never an all-pairs product)
+    * and are verified with bit_count(xor) ≤ maxHamming. Exact recall when
+    * maxHamming ≤ bands − 1.
+    */
+  def hammingNeighbors(df: DataFrame, idCol: String, simCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    require(maxHamming <= bands - 1,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) <= bands - 1 (${bands - 1})")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = df.select(col(idCol).as("id"), col(simCol).as("sim"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col(simCol), b * width).bitwiseAND(mask).as("chunk"))): _*)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band"), col("bk.chunk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 

@@ -63,6 +63,67 @@ class OpsSpec extends SparkTestBase {
     assert(ham(r(0L), r(2L)) < ham(r(0L), r(4L))) // near dup closer than random
   }
 
+  test("XXH64 matches Spark's codegen'd xxhash64 expression bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq("", "a", "abc", "the quick brown fox", "x" * 100,
+      "unicode ✓ ünïcödé", "0123456789abcdef0123456789abcdef")
+    val fromSpark = samples.toDF("s")
+      .select(xxhash64(col("s"))).collect().map(_.getLong(0))
+    val ours = samples.map(x => graft.util.XXH64.hash(x, 42L)) // Spark's default seed
+    assert(ours === fromSpark.toSeq)
+  }
+
+  test("LSH hot-bucket cap drops oversized buckets, keeps pairs reachable via other bands") {
+    val s = spark
+    import s.implicits._
+    // 30 identical docs (one mass-duplicate bucket in EVERY band) + the near pair
+    val mass = (100L until 130L).map(i => (i, "boilerplate license header text repeated everywhere " +
+      "do not modify this generated file at all ever"))
+    val all = docs.select(col("id"), col("text"))
+      .unionAll(mass.toDF("id", "text"))
+    val sh = all.select(col("id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashXx(col("sh"), 8))
+    val uncapped = Dedup.lshCandidates(sh, "id", "sig", bands = 4).count()
+    val capped = Dedup.lshCandidates(sh, "id", "sig", bands = 4, maxBucketSize = 10)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 30-doc cluster (435 pairs) is dropped; small-bucket pairs survive
+    assert(uncapped >= 435L + 1L)
+    assert(!cappedPairs.exists(p => p._1 >= 100L && p._2 >= 100L))
+    assert(cappedPairs.contains((0L, 1L))) // exact dup in a size-2 bucket survives
+  }
+
+  test("simhash64 + banded hamming join: exact recall within bands-1") {
+    val s = spark
+    import s.implicits._
+    val sh = docs.select(col("id"), Dedup.simhash64(TextOps.tokens(col("text"))).as("sim"))
+    val sims = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nbrs = Dedup.hammingNeighbors(sh, "id", "sim", maxHamming = 3, bands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // ground truth: every pair within hamming 3 is found (pigeonhole), none beyond
+    val ids = sims.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b) {
+      val h = ham(sims(a), sims(b))
+      if (h <= 3) assert(nbrs.get((a, b)).contains(h), s"missing pair ($a,$b) ham=$h")
+      else assert(!nbrs.contains((a, b)), s"spurious pair ($a,$b) ham=$h")
+    }
+    assert(nbrs.contains((0L, 1L)) && nbrs((0L, 1L)) === 0) // identical docs
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNeighbors(sh, "id", "sim", maxHamming = 5, bands = 4)
+    }
+  }
+
+  test("minhashXx: exact dup identical signatures; near dup shares bands") {
+    val sh = docs.select(col("id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashXx(col("sh"), 8))
+    val cand = Dedup.lshCandidates(sh, "id", "sig", bands = 4)
+    val jac = Dedup.jaccard(cand, sh, "id", "sh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((0L, 1L)) === 1.0)
+    assert(!jac.contains((0L, 4L)) && !jac.contains((3L, 4L)))
+  }
+
   test("ann: brute-force top-k order and self-similarity") {
     val s = spark
     import s.implicits._
@@ -79,5 +140,38 @@ class OpsSpec extends SparkTestBase {
     val lsh = Ann.topkLsh(emb, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f),
       Seq(Seq(1.0f, 0.0f, 0.0f)), 10).collect().map(_.getLong(0))
     assert(lsh.toSeq === Seq(0L, 1L)) // doc2 dot=0 -> other bucket, doc3 negative
+  }
+
+  test("ann: materialized LSH index prunes at the scan; multi-probe widens recall") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val planes = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    Ann.buildLshIndex(emb, "vec_id", "embedding", planes, dir)
+    // stored bucket column, filter pushed to the scan
+    // query bucket: plane1 bit set, plane2 zero-dot → bucket 1 holds only vec0
+    // (vec1's small plane2 component lands it in bucket 3)
+    val q = Ann.topkLshIndexed(spark, dir, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), planes, 10)
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(0L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bucket"), plan.take(1500))
+    // identical results to the scan-time variant
+    val scanned = Ann.topkLsh(emb, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f), planes, 10)
+      .collect().map(_.getLong(0))
+    assert(scanned.toSeq === Seq(0L))
+    // multi-probe flips one bucket bit at a time: probes=3 reaches bucket 3
+    // (= qb ^ plane2 bit) and recovers the near neighbor vec1
+    val probed = Ann.topkLshIndexed(spark, dir, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), planes, 10, probes = 3)
+    // probes flip one bit each: buckets {1, 0, 3} → vec1 (bucket 3) recovered,
+    // vec3 (bucket 0) swept in and ranked last by cosine; vec2 (bucket 2) not probed
+    assert(probed.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L))
   }
 }
