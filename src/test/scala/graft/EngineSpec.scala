@@ -230,6 +230,21 @@ class EngineSpec extends SparkTestBase {
     assert(math.abs(hit.getDouble(1) - Bm25.score(1, 1, w, 1.5)) < 1e-9)
   }
 
+  test("binary stored values ride the doc store and come back via select= (documents.py:45-48)") {
+    val s = spark
+    import s.implicits._
+    val src = Seq(
+      ("r", "p0", "c", "hello world", Array[Byte](1, 2, 3)),
+      ("r", "p1", "c", "hello spark", Array[Byte](-1, 0, 127))
+    ).toDF("repo", "path", "commit", "content", "blob")
+    val idx = IndexBuilder.build(src,
+      IndexSchema(Seq("repo", "path", "commit"),
+        Map("content" -> TextField("standard", positions = true))), 2)
+    val hit = new Searcher(idx).search(Term("content", "spark"), 1, select = Seq("blob"))
+      .collect()(0)
+    assert(hit.getAs[Array[Byte]]("blob").toSeq === Seq[Byte](-1, 0, 127))
+  }
+
   test("DocIds: negative integral keys order by magnitude (signed-hex encoding)") {
     val s = spark
     import s.implicits._
