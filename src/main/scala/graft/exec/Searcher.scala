@@ -245,12 +245,69 @@ class Searcher(val index: Index) extends Serializable {
     sb.append('$').toString
   }
 
+  /** Pure term-conjunction fast path: MUST/FILTER Terms of one field (plus
+    * optional MUST_NOT anything). The generic boolean path below would union
+    * the FULL postings of every clause into the aggregate — for
+    * `rare AND the`, the hot term's postings shuffle in their entirety even
+    * though only docs containing `rare` can match. Here the compressed
+    * blocks are pruned to the rarest term's salt buckets, co-partitioned by
+    * bucket, and merge-intersected rarest-first with score-only decode —
+    * the conjunctive twin of the phrase path.
+    */
+  private def evalTermConjunction(field: String, mustTerms: Seq[String],
+      filterTerms: Seq[String]): DataFrame = {
+    val st = index.fieldStats.getOrElse(field, return emptyMatches)
+    val mustCounts = mustTerms.groupBy(identity).view.mapValues(_.size).toMap
+    val distinct = (mustTerms ++ filterTerms).distinct
+    val stats = termStats(field, distinct)
+    if (distinct.exists(!stats.contains(_))) return emptyMatches
+    val order = distinct.sortBy(t => (stats(t)._1, t))
+    // duplicate MUST clauses sum like Lucene's BooleanQuery (idf × count)
+    val weights: Map[String, Double] = distinct.map { t =>
+      t -> mustCounts.getOrElse(t, 0) * Bm25.idf(st.docCount, stats(t)._1)
+    }.toMap
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucket = shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift)
+    val rareBuckets = index.blocks
+      .filter(col("field") === field && col("term") === order.head)
+      .select(bucket.as("__bkt")).distinct()
+    val ord = order.toArray
+    val w = weights
+    val avgdl = st.avgdl
+    index.blocks
+      .filter(col("field") === field && col("term").isin(order: _*))
+      // positions blob projected away before the shuffle (score-only decode)
+      .select(col("term"), col("firstDocId"), col("lastDocId"), col("numDocs"),
+        col("maxTf"), col("sumTf"), col("minDlq"),
+        col("docsBlob"), col("freqsBlob"), col("normsBlob"))
+      .join(rareBuckets, bucket === col("__bkt"), "left_semi")
+      .as[(String, Long, Long, Int, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .map(t => PostingBlock(field, t._1, t._2, t._3, t._4, t._5, t._6, t._7,
+        t._8, t._9, t._10, Array.empty[Byte]))
+      .repartition(parts, bucket)
+      .mapPartitions(it => Conjunction.scorePartition(ord, w, avgdl, it))
+      .toDF("docId", "score")
+  }
+
   /** Boolean algebra in ONE hash-aggregate: tag each clause's matches with
     * (score, isMust, isNot) and group by docId — no join cascade, map-side
     * partial aggregation defuses hot-doc skew.
     */
   private def evalBool(clauses: Seq[(Occur.Value, Query)]): DataFrame = {
     if (clauses.isEmpty) return emptyMatches
+    // Route ALL-positive-term-conjunctions (≥2 clauses, one field, no SHOULD)
+    // through the merge-intersect fast path; MUST_NOT clauses anti-join after.
+    val positives = clauses.filter(c => c._1 == Occur.Must || c._1 == Occur.Filter)
+    val posTerms = positives.collect { case (o, Term(f, t)) => (o, f, t) }
+    if (!clauses.exists(_._1 == Occur.Should) && positives.length >= 2 &&
+        posTerms.length == positives.length && posTerms.map(_._2).distinct.length == 1) {
+      val field = posTerms.head._2
+      val base = evalTermConjunction(field,
+        posTerms.collect { case (Occur.Must, _, t) => t },
+        posTerms.collect { case (Occur.Filter, _, t) => t })
+      return clauses.collect { case (Occur.MustNot, q) => q }
+        .foldLeft(base)((d, nq) => d.join(evalInner(nq).select("docId"), Seq("docId"), "left_anti"))
+    }
     val numRequired = clauses.count(c => c._1 == Occur.Must || c._1 == Occur.Filter)
     // ONE dictionary lookup for all direct Term clauses (instead of one
     // driver round-trip per term)
@@ -896,6 +953,67 @@ class Searcher(val index: Index) extends Serializable {
   * lists; slop allows bounded displacement with Lucene's sloppy weighting
   * freq += 1/(1+matchLength).
   */
+/** Score-only merge-intersect for pure term conjunctions (the executor side
+  * of Searcher.evalTermConjunction). Same skip discipline as the positional
+  * intersect — a wider term's block decodes only when its docId range still
+  * holds a live candidate — but decodes just (docId, tf, dlq) and folds the
+  * BM25 contribution in place, so the partition emits finished
+  * (docId, score) rows with no further aggregation.
+  */
+object Conjunction {
+
+  def scorePartition(order: Array[String], weights: Map[String, Double], avgdl: Double,
+      blocks: Iterator[PostingBlock]): Iterator[(Long, Double)] = {
+    val byTerm = blocks.toArray.groupBy(_.term)
+    if (order.exists(!byTerm.contains(_))) return Iterator.empty
+    def decode(b: PostingBlock): Array[Posting] =
+      PostingCodec.decodeScore(b.firstDocId, b.numDocs, b.docsBlob, b.freqsBlob, b.normsBlob)
+    val w0 = weights(order(0))
+    val first = byTerm(order(0)).sortBy(_.firstDocId).flatMap(decode)
+    var docIds: Array[Long] = first.map(_.docId)
+    var scores: Array[Double] = first.map(p => Bm25.score(p.tf.toDouble, p.dlq, w0, avgdl))
+    var k = 1
+    while (k < order.length && docIds.nonEmpty) {
+      val wk = weights(order(k))
+      val termBlocks = byTerm(order(k)).sortBy(_.firstDocId)
+      val keep = new scala.collection.mutable.ArrayBuffer[Int](docIds.length)
+      val add = new scala.collection.mutable.ArrayBuffer[Double](docIds.length)
+      var lo = 0
+      var bi = 0
+      while (bi < termBlocks.length && lo < docIds.length) {
+        val b = termBlocks(bi)
+        while (lo < docIds.length && docIds(lo) < b.firstDocId) lo += 1
+        if (lo < docIds.length && docIds(lo) <= b.lastDocId) {
+          val decoded = decode(b)
+          var i = 0
+          var j = lo
+          while (i < decoded.length && j < docIds.length) {
+            val d = decoded(i).docId
+            if (d < docIds(j)) i += 1
+            else if (d > docIds(j)) j += 1
+            else {
+              keep += j
+              add += (if (wk == 0.0) 0.0
+                      else Bm25.score(decoded(i).tf.toDouble, decoded(i).dlq, wk, avgdl))
+              i += 1; j += 1
+            }
+          }
+          lo = j
+        }
+        bi += 1
+      }
+      val m = keep.length
+      val nd = new Array[Long](m)
+      val ns = new Array[Double](m)
+      var x = 0
+      while (x < m) { nd(x) = docIds(keep(x)); ns(x) = scores(keep(x)) + add(x); x += 1 }
+      docIds = nd; scores = ns
+      k += 1
+    }
+    docIds.indices.iterator.map(i => (docIds(i), scores(i)))
+  }
+}
+
 object PhraseMatcher {
 
   /** Rarest-term-first merge-intersect over one co-partitioned slice of

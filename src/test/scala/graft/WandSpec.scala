@@ -84,6 +84,39 @@ class WandSpec extends SparkTestBase {
     }
   }
 
+  test("term-conjunction fast path ≡ per-clause score sums (filters, nots, duplicates)") {
+    def termScores(t: String): Map[Long, Double] =
+      searcher.search(Term("content", t), 0).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def got(q: graft.query.Query): Map[Long, Long] =
+      searcher.search(q, 0).collect()
+        .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e9)).toMap
+    for (Seq(t1, t2) <- Seq(Seq("def", "parse"), Seq("the", "return"), Seq("scanhash", "def"))) {
+      val (a, b) = (termScores(t1), termScores(t2))
+      val expected = (a.keySet intersect b.keySet)
+        .map(id => id -> math.round((a(id) + b(id)) * 1e9)).toMap
+      assert(got(Q.all(Term("content", t1), Term("content", t2))) === expected, s"$t1 AND $t2")
+      // FILTER clause constrains without scoring
+      val expectedF = (a.keySet intersect b.keySet)
+        .map(id => id -> math.round(a(id) * 1e9)).toMap
+      assert(got(Q.filter(Term("content", t1), Term("content", t2))) === expectedF)
+    }
+    // duplicate MUST doubles the clause contribution (BooleanQuery sum)
+    val a = termScores("def")
+    val dup = got(Q.all(Term("content", "def"), Term("content", "def")))
+    assert(dup === a.map { case (id, s) => id -> math.round(2 * s * 1e9) })
+    // MUST_NOT anti-joins after the fast path
+    val c = termScores("parse")
+    val notGot = got(Bool(Seq(Occur.Must -> Term("content", "def"),
+      Occur.Must -> Term("content", "parse"), Occur.MustNot -> Term("content", "merge"))))
+    val merged = termScores("merge").keySet
+    val notExp = (a.keySet intersect c.keySet diff merged)
+      .map(id => id -> math.round((a(id) + c(id)) * 1e9)).toMap
+    assert(notGot === notExp)
+    // absent term ⇒ empty conjunction
+    assert(got(Q.all(Term("content", "def"), Term("content", "zzz_missing"))).isEmpty)
+  }
+
   test("WAND prunes: decodes fewer blocks than exist for small k") {
     // rare + hot mix: docs lacking the high-idf rare term can't compete, so
     // hot-term blocks between rare-term docs are skipped undecoded.
