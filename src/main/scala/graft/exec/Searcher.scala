@@ -898,14 +898,14 @@ class Searcher(val index: Index) extends Serializable {
   }
 
   /** Multi-field parse with per-field boosts (Analyzer.parse fields/boosts
-    * variant, analyzers.py:140-150): the query matches in any field, scores
-    * summing across fields.
+    * variant, analyzers.py:140-150): Lucene MultiFieldQueryParser semantics —
+    * each default-field clause expands to a SHOULD across the fields (so
+    * op="and" requires every clause in SOME field, not a whole-query match
+    * in one field); the analyzer comes from the first field.
     */
   def parseMultiField(q: String, fieldBoosts: Map[String, Double], op: String = "or"): Query =
-    Query.any(fieldBoosts.toSeq.sortBy(_._1).map { case (f, b) =>
-      val sub = parse(q, f, op)
-      if (b == 1.0) sub else Boost(sub, b)
-    }: _*)
+    new QueryParser(fieldBoosts.toSeq.sortBy(_._1),
+      index.schema.analyzerFor(fieldBoosts.keys.min), op).parse(q)
 
   private def respell(q: Query): Query = q match {
     case Term(f, t) if docFreq(f, t) == 0 =>

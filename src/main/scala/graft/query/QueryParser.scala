@@ -12,15 +12,26 @@ import graft.analysis.Analyzer
   *
   * Default operator is OR (SHOULD); `op = "and"` switches to MUST. Term and
   * phrase text runs through the field analyzer.
+  *
+  * Several default fields (with per-field boosts) give Lucene
+  * MultiFieldQueryParser semantics (reference Analyzer.parse fields/boosts
+  * variant, analyzers.py:140-150; pinned at tests/test_engine.py:43-46):
+  * every DEFAULT-field atom expands per-clause into a SHOULD across the
+  * fields — `searches` over (body, title) parses to
+  * `body:search title:search`, and with op=and each clause-group is a MUST —
+  * while an explicit `field:` prefix suppresses expansion.
   */
-final class QueryParser(defaultField: String, analyzer: Analyzer, op: String = "or") {
+final class QueryParser(defaultFields: Seq[(String, Double)], analyzer: Analyzer, op: String) {
+
+  def this(field: String, analyzer: Analyzer, op: String) = this(Seq(field -> 1.0), analyzer, op)
+  def this(field: String, analyzer: Analyzer) = this(field, analyzer, "or")
 
   private val must = op.equalsIgnoreCase("and")
 
   def parse(input: String): Query = {
     val toks = lex(input)
     val p = new Parser(toks)
-    val q = p.parseQuery(defaultField)
+    val q = p.parseQuery(defaultFields)
     q
   }
 
@@ -131,7 +142,7 @@ final class QueryParser(defaultField: String, analyzer: Analyzer, op: String = "
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
 
-    def parseQuery(field: String): Query = {
+    def parseQuery(fields: Seq[(String, Double)]): Query = {
       val clauses = scala.collection.mutable.ArrayBuffer.empty[(Occur.Value, Query)]
       var pendingOccur: Option[Occur.Value] = None
       var lastWasOr = false
@@ -154,12 +165,12 @@ final class QueryParser(defaultField: String, analyzer: Analyzer, op: String = "
           case AndOp => lastWasAnd = true
           case OrOp  => lastWasOr = true
           case LParen =>
-            val sub = parseQuery(field)
+            val sub = parseQuery(fields)
             if (peek.contains(RParen)) next()
             add(sub)
           case RParen => // unreachable (guarded)
-          case FieldName(f) => add(parseAtom(f))
-          case t => add(atomToQuery(field, t))
+          case FieldName(f) => add(parseAtom(f)) // explicit field: no expansion
+          case t => add(atomToQuery(fields, t))
         }
       }
       val cs = clauses.toVector.filterNot(_._2 == NoDocs)
@@ -174,14 +185,29 @@ final class QueryParser(defaultField: String, analyzer: Analyzer, op: String = "
     private def parseAtom(field: String): Query = {
       next() match {
         case LParen =>
-          val sub = parseQuery(field)
+          val sub = parseQuery(Seq(field -> 1.0))
           if (peek.contains(RParen)) next()
           sub
-        case t => atomToQuery(field, t)
+        case t => singleFieldAtom(field, t)
       }
     }
 
-    private def atomToQuery(field: String, t: Tok): Query = t match {
+    /** Default-field atom: expand across the default fields (SHOULD of the
+      * per-field atoms, each with its boost — MultiFieldQueryParser shape).
+      */
+    private def atomToQuery(fields: Seq[(String, Double)], t: Tok): Query =
+      if (fields.length == 1 && fields.head._2 == 1.0) singleFieldAtom(fields.head._1, t)
+      else {
+        val subs = fields.map { case (f, b) => withBoost(singleFieldAtom(f, t), b) }
+          .filterNot(_ == NoDocs)
+        subs match {
+          case Seq()  => NoDocs
+          case Seq(q) => q
+          case qs     => Bool(qs.map(Occur.Should -> _))
+        }
+      }
+
+    private def singleFieldAtom(field: String, t: Tok): Query = t match {
       case Phrase0(text, slop, b) =>
         val terms = analyzer.terms(text)
         val q: Query =

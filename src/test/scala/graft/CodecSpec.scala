@@ -145,6 +145,29 @@ class CodecSpec extends AnyFunSuite {
       Phrase("f", Seq(Some("well"), Some("known")), 0))
   }
 
+  test("multi-field parse: per-clause field expansion (test_engine.py:43-46)") {
+    import graft.query._
+    // str(stemmer.parse("searches", field=["body","title"])) == "body:search title:search"
+    val p = new QueryParser(Seq("body" -> 1.0, "title" -> 1.0),
+      graft.analysis.Analyzers.byName("porter"), "or")
+    assert(p.parse("searches") ===
+      Bool(Seq(Occur.Should -> Term("body", "search"), Occur.Should -> Term("title", "search"))))
+    // boosts: "(body:search)^1.0 (title:search)^2.0"
+    val pb = new QueryParser(Seq("body" -> 1.0, "title" -> 2.0),
+      graft.analysis.Analyzers.byName("porter"), "or")
+    assert(pb.parse("searches") ===
+      Bool(Seq(Occur.Should -> Term("body", "search"),
+        Occur.Should -> Boost(Term("title", "search"), 2.0))))
+    // op=and: EACH clause must match in SOME field (per-clause groups)
+    val pAnd = new QueryParser(Seq("f1" -> 1.0, "f2" -> 1.0),
+      graft.analysis.Analyzers.standard, "and")
+    assert(pAnd.parse("right people") === Bool(Seq(
+      Occur.Must -> Bool(Seq(Occur.Should -> Term("f1", "right"), Occur.Should -> Term("f2", "right"))),
+      Occur.Must -> Bool(Seq(Occur.Should -> Term("f1", "people"), Occur.Should -> Term("f2", "people"))))))
+    // explicit field: prefix suppresses expansion
+    assert(pAnd.parse("f9:only") === Term("f9", "only"))
+  }
+
   test("EditDistance.damerau: OSA semantics (transposition = 1 edit)") {
     import graft.util.EditDistance.damerau
     assert(damerau("spark", "spark") === 0)
