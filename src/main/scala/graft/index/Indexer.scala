@@ -147,6 +147,35 @@ final class Indexer(
     s
   }
 
+  /** Compact every committed segment into ONE (reference
+    * `Indexer.commit(merge=1)` / forceMerge + forceMergeDeletes,
+    * indexers.py:648-661): rebuild from the current LIVE view — tombstones
+    * and docvalue updates are applied and then dropped, docIds re-densify by
+    * the schema's key order (Lucene merges also remap docIds). The new
+    * segment is built in a scratch dir first, then swapped in atomically
+    * enough for a single writer.
+    */
+  def compact(): Unit = {
+    val live = searcher.index
+    val rows = live.deletes match {
+      case None    => live.docs
+      case Some(d) => live.docs.join(d, Seq("docId"), "left_anti")
+    }
+    val src = rows.select(sourceSchema.fieldNames.map(Cols.qcol): _*)
+    val tmp = s"$dir/.compact-tmp"
+    fs.delete(new Path(tmp), true)
+    StreamingIndexer.appendSegment(src, schema, tmp, 0L)
+    val built = fs.exists(new Path(s"$tmp/segments")) // empty index ⇒ nothing written
+    Seq("docs", "postings", "segments", "deletes", "dvupdates").foreach { sub =>
+      fs.delete(new Path(s"$dir/$sub"), true)
+    }
+    if (built) Seq("docs", "postings", "segments").foreach { sub =>
+      fs.rename(new Path(s"$tmp/$sub"), new Path(s"$dir/$sub"))
+    }
+    fs.delete(new Path(tmp), true)
+    refresh()
+  }
+
   /** Pin the current commit (reference IndexWriter.snapshot,
     * indexers.py:594-601): segments are immutable directories, so a pin is
     * just the set of committed segment ids — the writer keeps advancing and

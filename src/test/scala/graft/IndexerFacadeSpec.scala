@@ -102,6 +102,36 @@ class IndexerFacadeSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq === Seq("c42", "c"))
   }
 
+  test("compact: segments merge to one, tombstones + dv updates baked in (commit(merge=1))") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha beta")
+    w.commit()
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "de", "content" -> "alpha gamma")
+    w.add("repo" -> "r", "path" -> "p2", "commit" -> "c", "lang" -> "fr", "content" -> "delta beta")
+    w.commit()
+    w.delete(Term("content", "gamma"))
+    w.commit()
+    w.updateDocValues(Term("content", "delta"), "commit" -> "c7")
+    assert(w.version === 2L) // two segments (middle commit had only a delete)
+    assert(w.searcher.index.numLiveDocs === 2L)
+
+    w.compact()
+    assert(w.version === 1L) // ONE segment now
+    assert(w.searcher.index.numDocs === 2L) // tombstoned doc expunged
+    assert(w.searcher.index.deletes.isEmpty)
+    assert(w.count(Term("content", "gamma")) === 0L)
+    assert(w.count(Term("content", "beta")) === 2L)
+    // docFreq now reflects the merged view (pre-merge it counted deletes)
+    assert(w.searcher.docFreq("content", "alpha") === 1L)
+    // the docvalue update survives, baked into the doc store; sidecar gone
+    val commits = w.searcher.index.docs.orderBy("docId").select("path", "commit")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(commits.toSeq === Seq("p0" -> "c", "p2" -> "c7"))
+    assert(!new java.io.File(s"$dir/dvupdates").exists)
+    assert(!new java.io.File(s"$dir/deletes").exists)
+  }
+
   test("snapshot pin + copy while the writer advances (indexers.py:594-601)") {
     val dir = Files.createTempDirectory("graft-pin").toString
     val w = new Indexer(spark, dir, idxSchema, srcSchema)
