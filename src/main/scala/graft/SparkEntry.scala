@@ -216,6 +216,23 @@ object SparkEntry {
     "q_wildcard_docs" -> ((sp, dir) => {
       searcher(sp, dir).search(Wildcard("content", "s?ark"), 20).select(col("docId").as("docid"))
     }),
+    "q_dismax_topk" -> ((sp, dir) => {
+      searcher(sp, dir)
+        .search(DisMax(0.3, Seq(Term("content", "spark"), Term("content", "join"))), 10)
+        .select(col("docId").as("docid"), qz(col("score")).as("score_q"))
+    }),
+    "q_range_docs" -> ((sp, dir) => {
+      searcher(sp, dir).search(TermRange("content", Some("s"), Some("t")), 20)
+        .select(col("docId").as("docid"))
+    }),
+    "q_regexp_docs" -> ((sp, dir) => {
+      searcher(sp, dir).search(Regexp("content", "(ha|jo).*"), 20)
+        .select(col("docId").as("docid"))
+    }),
+    "q_complete" -> ((sp, dir) => {
+      searcher(sp, dir).complete("content", "s", 5)
+        .select(col("term"), col("docFreq").as("docfreq"))
+    }),
     "q_fuzzy_docs" -> ((sp, dir) => {
       searcher(sp, dir).search(Fuzzy("content", "joln", 1), 20).select(col("docId").as("docid"))
     }),
@@ -463,6 +480,27 @@ object SparkEntry {
     "q_wildcard_docs" ->
       s"""$prelude SELECT DISTINCT docid FROM tf WHERE regexp_matches(term, '^s.ark$$')
          |ORDER BY docid LIMIT 20""".stripMargin,
+    "q_dismax_topk" -> // DisjunctionMax: max(clauses) + 0.3·(sum − max)
+      s"""$prelude, td AS (
+         |  SELECT term, count(*) AS df FROM tf WHERE term IN ('spark', 'join') GROUP BY 1
+         |), persc AS (
+         |  SELECT f.docid,
+         |         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * f.tf / (f.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS sc
+         |  FROM tf f JOIN td d USING (term) JOIN dlq q USING (docid) CROSS JOIN stats s
+         |  WHERE f.term IN ('spark', 'join')
+         |), dm AS (
+         |  SELECT docid, max(sc) + 0.3 * (sum(sc) - max(sc)) AS score FROM persc GROUP BY 1
+         |)
+         |SELECT docid, $topk FROM dm ORDER BY score DESC, docid LIMIT 10""".stripMargin,
+    "q_range_docs" -> // lexicographic half-open term range [s, t)
+      s"""$prelude SELECT DISTINCT docid FROM tf WHERE term >= 's' AND term < 't'
+         |ORDER BY docid LIMIT 20""".stripMargin,
+    "q_regexp_docs" ->
+      s"""$prelude SELECT DISTINCT docid FROM tf WHERE regexp_matches(term, '^(ha|jo).*$$')
+         |ORDER BY docid LIMIT 20""".stripMargin,
+    "q_complete" -> // autocomplete: top-k prefix terms by docFreq then term
+      s"""$prelude SELECT term, count(*) AS docfreq FROM tf WHERE term LIKE 's%'
+         |GROUP BY 1 ORDER BY docfreq DESC, term ASC LIMIT 5""".stripMargin,
     "q_fuzzy_docs" -> // FuzzyQuery transpositions=true: damerau distance
       s"""$prelude SELECT DISTINCT docid FROM tf WHERE damerau_levenshtein(term, 'joln') <= 1
          |ORDER BY docid LIMIT 20""".stripMargin,
