@@ -112,6 +112,24 @@ class ScaleSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("positional/conjunctive plans carry the rare-bucket semi-join (scale pruning evidence)") {
+    val s = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 4))
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // phrase: wider terms' blocks prune to the rarest term's salt buckets
+    val phrasePlan = planOf(s.search(Query.phrase("content", "we", "the", "people"), 10))
+    assert(phrasePlan.contains("LeftSemi"), phrasePlan.take(1500))
+    // pure term conjunction routes through the same intersect (no hash
+    // aggregate of unioned full postings)
+    val andPlan = planOf(s.search(Query.all(Term("content", "parse"), Term("content", "merge")), 10))
+    assert(andPlan.contains("LeftSemi"), andPlan.take(1500))
+    // groupBy ranks groups without an unpartitioned window
+    val gPlan = planOf(s.groupBy("lang", Term("content", "def"), groups = 2))
+    assert(!gPlan.contains("Window [dense_rank"), gPlan.take(1500))
+  }
+
   test("hot-term skew: 'the'/'def' posting blocks stay block-aligned and decodable") {
     val idx = IndexBuilder.build(corpus, schema, numPartitions = 8)
     val hot = idx.blocks.filter(col("term") === "def").collect()
