@@ -36,17 +36,28 @@ object TextOps {
 
   /** Predicted language code by max stopword-hit count; ties break by
     * language-code order (en < de... explicit priority = list order).
+    *
+    * One compiled pass over the (codegen'd) token array. The previous
+    * when-fold over four `aggregate` HOFs was interpreted (CodegenFallback)
+    * AND duplicated each language's aggregate into every later branch —
+    * ~2 s/5k docs; this is a single token loop with four counters.
     */
   def languageId(text: Column): Column = {
-    val toks = tokens(text)
-    // fold left keeping (bestLang, bestHits); list order is the tiebreak;
-    // zero evidence stays "und"
-    stopwords.foldLeft((lit("und"), lit(0)): (Column, Column)) {
-      case ((bestLang, bestHits), (lang, words)) =>
-        val h = stopwordHits(toks, words)
-        (when(h > bestHits, lit(lang)).otherwise(bestLang),
-          when(h > bestHits, h).otherwise(bestHits))
-    }._1
+    val langs = stopwords.map(_._1).toArray
+    val sets = stopwords.map(_._2.toSet).toArray
+    val f = udf((ts: Seq[String]) => {
+      val hits = new Array[Int](sets.length)
+      if (ts != null) ts.foreach { t =>
+        var i = 0
+        while (i < sets.length) { if (sets(i)(t)) hits(i) += 1; i += 1 }
+      }
+      var best = -1
+      var bestHits = 0 // strict '>' keeps list-order priority on ties
+      var i = 0
+      while (i < hits.length) { if (hits(i) > bestHits) { best = i; bestHits = hits(i) }; i += 1 }
+      if (best < 0) "und" else langs(best)
+    })
+    f(tokens(text))
   }
 
   /** Quality metrics struct: token count, char count, stopword ratio (en),
@@ -55,15 +66,29 @@ object TextOps {
     */
   def quality(text: Column): Column = {
     val toks = tokens(text)
-    val n = size(toks).cast("double")
+    val en = stopwords.head._2.toSet
+    // one compiled pass for the token-dependent stats (the aggregate-HOF
+    // equivalents are interpreted); chars/alpha stay native codegen'd exprs
+    val agg = udf((ts: Seq[String]) => {
+      var n = 0
+      var hits = 0
+      var sumLen = 0L
+      if (ts != null) ts.foreach { t =>
+        n += 1
+        if (en(t)) hits += 1
+        sumLen += t.length
+      }
+      (n, hits, sumLen)
+    })
+    val a = agg(toks)
+    val n = a.getField("_1").cast("double")
     val chars = length(text).cast("double")
-    val stopRatio = when(n > 0, stopwordHits(toks, stopwords.head._2).cast("double") / n).otherwise(0.0)
-    val meanLen = when(n > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n).otherwise(0.0)
+    val stopRatio = when(n > 0, a.getField("_2").cast("double") / n).otherwise(0.0)
+    val meanLen = when(n > 0, a.getField("_3").cast("double") / n).otherwise(0.0)
     val alphaRatio = when(chars > 0,
       (chars - length(regexp_replace(text, lit("[A-Za-z]"), lit("")))) / chars).otherwise(0.0)
     struct(
-      size(toks).as("n_tokens"),
+      a.getField("_1").as("n_tokens"),
       length(text).as("n_chars"),
       stopRatio.as("stopword_ratio"),
       meanLen.as("mean_token_len"),
