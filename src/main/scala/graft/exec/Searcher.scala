@@ -341,7 +341,7 @@ class Searcher(val index: Index) extends Serializable {
     */
   private def requirePositions(field: String): Unit =
     index.schema.fields.get(field) match {
-      case Some(graft.index.TextField(_, true)) => ()
+      case Some(graft.index.TextField(_, true, _)) => ()
       case other => throw new IllegalArgumentException(
         s"field '$field' is not indexed with positions (config: $other) — " +
           "phrase/near/spans queries need TextField(positions = true)")
@@ -684,7 +684,7 @@ class Searcher(val index: Index) extends Serializable {
   def matchDoc(doc: Map[String, String], queries: Seq[Query]): Seq[Double] = {
     val analyzed: Map[String, IndexedSeq[graft.analysis.Token]] = doc.map { case (f, text) =>
       index.schema.fields.get(f) match {
-        case Some(graft.index.TextField(a, _)) => f -> graft.analysis.Analyzers.byName(a).tokens(text)
+        case Some(graft.index.TextField(a, _, _)) => f -> graft.analysis.Analyzers.byName(a).tokens(text)
         case _ => f -> IndexedSeq(graft.analysis.Token(text, 0, 0, text.length))
       }
     }
@@ -823,12 +823,21 @@ class Searcher(val index: Index) extends Serializable {
   }
 
   /** Postings of one term with per-doc position lists, optionally with the
-    * per-position payload bytes (reference IndexReader.positions,
-    * indexers.py:256-275; payload pinned at tests/test_engine.py:52).
+    * per-position payload bytes or (start, end) character offsets (reference
+    * IndexReader.positions, indexers.py:256-275; payload pinned at
+    * tests/test_engine.py:52). Offsets require the field to be indexed with
+    * `TextField(offsets = true)`.
     */
-  def positions(field: String, term: String, payloads: Boolean = false): DataFrame = {
+  def positions(field: String, term: String, payloads: Boolean = false,
+      offsets: Boolean = false): DataFrame = {
     val filtered = index.blocks.filter(col("field") === field && col("term") === term)
-    if (payloads)
+    if (offsets)
+      filtered.flatMap(b => PostingCodec.decodeBlock(b, withPositions = true, withOffsets = true)
+          .map(p => (p.docId,
+            if (p.offsets == null) null
+            else p.offsets.grouped(2).map(x => (x(0), x(1))).toSeq)))
+        .toDF("docId", "offsets")
+    else if (payloads)
       filtered.flatMap(b => PostingCodec.decodeBlock(b, withPositions = true, withPayloads = true)
           .map(p => (p.docId, p.positions, if (p.payloads == null) null else p.payloads.toSeq)))
         .toDF("docId", "positions", "payloads")

@@ -74,7 +74,7 @@ object CheckpointedBuild {
       import spark.implicits._
       spark.read.parquet(s"$dir/postings")
         .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
-          "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob")
+          "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob", "offsetsBlob")
         .as[PostingBlock]
     }
     val termDictDir = s"$dir/termdict"

@@ -70,6 +70,9 @@ object VByte {
   *                   + bytes); empty array when the field's analyzer carries
   *                   no payloads — a field either always encodes payload
   *                   entries or never does, so blocks stay aligned
+  *  - offsetsBlob:   per doc, `freq` (startDelta, length) vbyte pairs
+  *                   (start delta relative to the previous start); empty
+  *                   array unless the field is configured with offsets
   */
 final case class PostingBlock(
     field: String,
@@ -84,20 +87,21 @@ final case class PostingBlock(
     freqsBlob: Array[Byte],
     normsBlob: Array[Byte],
     positionsBlob: Array[Byte],
-    payloadsBlob: Array[Byte] = Array.empty
+    payloadsBlob: Array[Byte] = Array.empty,
+    offsetsBlob: Array[Byte] = Array.empty
 )
 
-/** One decoded posting entry. */
+/** One decoded posting entry. `offsets` is flat (start0, end0, start1, …). */
 final case class Posting(docId: Long, tf: Int, dlq: Int, positions: Array[Int],
-    payloads: Array[Array[Byte]] = null)
+    payloads: Array[Array[Byte]] = null, offsets: Array[Int] = null)
 
 /** One raw posting as it flows through the build shuffle: positions (and
-  * payloads) are ALREADY VByte-encoded by the tokenize pass, so the block
-  * encoder just concatenates them — the shuffle carries compact bytes, not
-  * int arrays.
+  * payloads/offsets) are ALREADY VByte-encoded by the tokenize pass, so the
+  * block encoder just concatenates them — the shuffle carries compact bytes,
+  * not int arrays.
   */
 final case class RawPosting(docId: Long, tf: Int, dlq: Int, posBlob: Array[Byte],
-    payBlob: Array[Byte] = null)
+    payBlob: Array[Byte] = null, offBlob: Array[Byte] = null)
 
 object PostingCodec {
   val BlockSize = 128
@@ -136,18 +140,40 @@ object PostingCodec {
     out.toArray
   }
 
+  /** Delta-encode one doc's flat (start, end) offset pairs: per position,
+    * vbyte(start − prevStart) + vbyte(end − start). Null in ⇒ null out.
+    */
+  def encodeOffsets(offsets: Array[Int]): Array[Byte] = {
+    if (offsets == null) return null
+    val out = new ArrayBuffer[Byte](offsets.length)
+    var prevStart = 0
+    var i = 0
+    while (i < offsets.length) {
+      val s = offsets(i)
+      val e = offsets(i + 1)
+      VByte.writeInt(s - prevStart, out)
+      VByte.writeInt(e - s, out)
+      prevStart = s
+      i += 2
+    }
+    out.toArray
+  }
+
   /** Encode one ≤BlockSize run of raw postings (ascending docId). */
   def encodeRaw(field: String, term: String, run: Seq[RawPosting]): PostingBlock = {
     require(run.nonEmpty && run.length <= BlockSize)
-    // payload layout is all-or-none per (field, term) run — guaranteed by the
-    // tokenize pass (an analyzer either always carries payloads or never)
+    // payload/offset layouts are all-or-none per (field, term) run —
+    // guaranteed by the tokenize pass (uniform per field configuration)
     require(run.forall(_.payBlob == null) || run.forall(_.payBlob != null),
       s"mixed payload layout in $field:$term")
+    require(run.forall(_.offBlob == null) || run.forall(_.offBlob != null),
+      s"mixed offsets layout in $field:$term")
     val docs = new ArrayBuffer[Byte](run.length * 2)
     val freqs = new ArrayBuffer[Byte](run.length)
     val norms = new ArrayBuffer[Byte](run.length)
     val poss = new ArrayBuffer[Byte]()
     val pays = new ArrayBuffer[Byte]()
+    val offs = new ArrayBuffer[Byte]()
     var prevDoc = run.head.docId
     var maxTf = 0
     var sumTf = 0L
@@ -162,20 +188,21 @@ object PostingCodec {
       VByte.writeInt(p.dlq, norms)
       if (p.posBlob != null) poss ++= p.posBlob
       if (p.payBlob != null) pays ++= p.payBlob
+      if (p.offBlob != null) offs ++= p.offBlob
       if (p.tf > maxTf) maxTf = p.tf
       sumTf += p.tf
       if (p.dlq < minDlq) minDlq = p.dlq
       i += 1
     }
     PostingBlock(field, term, run.head.docId, run.last.docId, run.length, maxTf, sumTf, minDlq,
-      docs.toArray, freqs.toArray, norms.toArray, poss.toArray, pays.toArray)
+      docs.toArray, freqs.toArray, norms.toArray, poss.toArray, pays.toArray, offs.toArray)
   }
 
   /** Encode from decoded postings (tests/small paths). */
   def encodeBlock(field: String, term: String, run: Seq[Posting]): PostingBlock =
     encodeRaw(field, term,
       run.map(p => RawPosting(p.docId, p.tf, p.dlq, encodePositions(p.positions),
-        encodePayloads(p.payloads))))
+        encodePayloads(p.payloads), encodeOffsets(p.offsets))))
 
   /** Split an ascending posting iterator for one (field, term) run into
     * encoded blocks of BlockSize.
@@ -213,16 +240,19 @@ object PostingCodec {
   }
 
   /** Decode a block. `withPositions=false` skips position materialization;
-    * `withPayloads=true` additionally materializes per-position payloads.
+    * `withPayloads`/`withOffsets` additionally materialize per-position
+    * payloads / (start, end) character offsets.
     */
   def decodeBlock(b: PostingBlock, withPositions: Boolean,
-      withPayloads: Boolean = false): Array[Posting] = {
+      withPayloads: Boolean = false, withOffsets: Boolean = false): Array[Posting] = {
     val docs = new VByte.Reader(b.docsBlob)
     val freqs = new VByte.Reader(b.freqsBlob)
     val norms = new VByte.Reader(b.normsBlob)
     val poss = new VByte.Reader(b.positionsBlob)
     val hasPos = b.positionsBlob.nonEmpty
     val hasPay = withPayloads && b.payloadsBlob != null && b.payloadsBlob.nonEmpty
+    val hasOff = withOffsets && b.offsetsBlob != null && b.offsetsBlob.nonEmpty
+    val offR = if (hasOff) new VByte.Reader(b.offsetsBlob) else null
     var payAt = 0
     val out = new Array[Posting](b.numDocs)
     var doc = b.firstDocId
@@ -252,7 +282,20 @@ object PostingCodec {
           }
           arr
         } else null
-      out(i) = Posting(doc, tf, dlq, positions, payloads)
+      val offsets: Array[Int] =
+        if (hasOff) {
+          val arr = new Array[Int](tf * 2)
+          var prevStart = 0
+          var j = 0
+          while (j < tf) {
+            prevStart += offR.readInt()
+            arr(j * 2) = prevStart
+            arr(j * 2 + 1) = prevStart + offR.readInt()
+            j += 1
+          }
+          arr
+        } else null
+      out(i) = Posting(doc, tf, dlq, positions, payloads, offsets)
       i += 1
     }
     out

@@ -13,8 +13,13 @@ import graft.util.SmallFloat
   * field kinds from /root/reference/lupyne/engine/documents.py:21-124).
   */
 sealed trait FieldKind extends Serializable
-/** Analyzed full-text field (Field.Text: DOCS_AND_FREQS[_AND_POSITIONS]). */
-final case class TextField(analyzer: String = "standard", positions: Boolean = true) extends FieldKind
+/** Analyzed full-text field (Field.Text: DOCS_AND_FREQS[_AND_POSITIONS
+  * [_AND_OFFSETS]]); `offsets=true` additionally stores per-position
+  * character offsets in the postings (reference documents.py:63-64
+  * indexOptions, read back by positions(offsets=True), indexers.py:256-275).
+  */
+final case class TextField(analyzer: String = "standard", positions: Boolean = true,
+    offsets: Boolean = false) extends FieldKind
 /** Exact, untokenized keyword (Field.String, indexOptions=DOCS, omitNorms). */
 case object KeywordField extends FieldKind
 /** Hierarchical keyword: indexes every dotted component prefix into its own
@@ -31,7 +36,7 @@ final case class NestedField(sep: String = ".") extends FieldKind
   */
 final case class IndexSchema(keyColumns: Seq[String], fields: Map[String, FieldKind]) {
   def analyzerFor(f: String): Analyzer = fields(f) match {
-    case TextField(a, _) => Analyzers.byName(a)
+    case TextField(a, _, _) => Analyzers.byName(a)
     case _               => Analyzers.whitespace // unused; keywords bypass analysis
   }
 }
@@ -281,7 +286,7 @@ final case class IndexManifest(schema: IndexSchema, fieldStats: Map[String, Fiel
     val sb = new StringBuilder
     sb.append("keys\t").append(schema.keyColumns.mkString(",")).append('\n')
     schema.fields.toSeq.sortBy(_._1).foreach {
-      case (n, TextField(a, p)) => sb.append(s"field\t$n\ttext\t$a\t$p\n")
+      case (n, TextField(a, p, o)) => sb.append(s"field\t$n\ttext\t$a\t$p\t$o\n")
       case (n, KeywordField)    => sb.append(s"field\t$n\tkeyword\t-\t-\n")
       case (n, NestedField(s))  => sb.append(s"field\t$n\tnested\t$s\t-\n")
     }
@@ -317,6 +322,7 @@ object IndexManifest {
       line.split('\t') match {
         case Array("keys", ks)                  => keys = ks.split(',').toSeq
         case Array("field", n, "text", a, p)    => fields += n -> TextField(a, p.toBoolean)
+        case Array("field", n, "text", a, p, o) => fields += n -> TextField(a, p.toBoolean, o.toBoolean)
         case Array("field", n, "keyword", _, _) => fields += n -> KeywordField
         case Array("field", n, "nested", s, _)  => fields += n -> NestedField(s)
         case Array("stats", n, dc, sttf)        => stats += n -> FieldStats(dc.toLong, sttf.toLong)
@@ -334,7 +340,7 @@ object IndexBuilder {
     * arrays of arrays).
     */
   final case class TermDoc(field: String, term: String, docId: Long, freq: Int, dlq: Int,
-      posBlob: Array[Byte], payBlob: Array[Byte] = null)
+      posBlob: Array[Byte], payBlob: Array[Byte] = null, offBlob: Array[Byte] = null)
 
   /** Docs-per-salt-bucket shift: posting blocks never span a bucket, so a hot
     * term's postings build in parallel across `numDocs / 2^shift` tasks with
@@ -402,7 +408,7 @@ object IndexBuilder {
     val spark = docs.sparkSession
     import spark.implicits._
     val fieldPlans: Seq[(String, FieldKind, Analyzer, Boolean)] = schema.fields.toSeq.sortBy(_._1).map {
-      case (n, t @ TextField(a, p)) => (n, t, Analyzers.byName(a), p)
+      case (n, t @ TextField(a, p, _)) => (n, t, Analyzers.byName(a), p)
       case (n, k)                   => (n, k, null, false)
     }
     val indexedCols = fieldPlans.map(_._1)
@@ -431,6 +437,7 @@ object IndexBuilder {
             if (toks.isEmpty) Iterator.empty
             else {
               val withPay = analyzer.producesPayloads
+              val withOff = kind.asInstanceOf[TextField].offsets
               val dlq = SmallFloat.quantizeLength(toks.length)
               val byTerm = scala.collection.mutable.LinkedHashMap
                 .empty[String, scala.collection.mutable.ArrayBuffer[graft.analysis.Token]]
@@ -442,7 +449,9 @@ object IndexBuilder {
               Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ts) =>
                 TermDoc(name, term, docId, ts.length, dlq,
                   if (withPos) PostingCodec.encodePositions(ts.map(_.pos).toArray) else null,
-                  if (withPay) PostingCodec.encodePayloads(ts.map(_.payload).toArray) else null)
+                  if (withPay) PostingCodec.encodePayloads(ts.map(_.payload).toArray) else null,
+                  if (withOff) PostingCodec.encodeOffsets(
+                    ts.flatMap(t => Seq(t.startOffset, t.endOffset)).toArray) else null)
               }
             }
           case KeywordField =>
@@ -525,7 +534,7 @@ object IndexBuilder {
         val buf = scala.collection.mutable.ArrayBuffer.empty[RawPosting]
         while (cur != null && buf.length < PostingCodec.BlockSize &&
             cur.field == f && cur.term == t && (cur.docId >>> saltShift) == bucket) {
-          buf += RawPosting(cur.docId, cur.freq, cur.dlq, cur.posBlob, cur.payBlob)
+          buf += RawPosting(cur.docId, cur.freq, cur.dlq, cur.posBlob, cur.payBlob, cur.offBlob)
           cur = if (rows.hasNext) rows.next() else null
         }
         PostingCodec.encodeRaw(f, t, buf.toSeq)

@@ -80,7 +80,7 @@ object StreamingIndexer {
     val docs = spark.read.parquet(s"$dir/docs").drop("segment")
     val blocks = spark.read.parquet(s"$dir/postings")
       .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
-        "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob")
+        "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob", "offsetsBlob")
       .as[PostingBlock]
     new Index(spark, schema, docs, blocks, IndexBuilder.termDictOf(blocks),
       IndexBuilder.fieldStatsOf(blocks))

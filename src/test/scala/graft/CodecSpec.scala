@@ -145,6 +145,36 @@ class CodecSpec extends AnyFunSuite {
       Phrase("f", Seq(Some("well"), Some("known")), 0))
   }
 
+  test("posting block roundtrip with payloads + offsets") {
+    val r = rnd
+    val run = (0 until 64).scanLeft(0L)((d, _) => d + 1 + r.nextInt(50)).tail.map { docId =>
+      val tf = 1 + r.nextInt(5)
+      var pos = -1
+      val positions = Array.fill(tf) { pos += 1 + r.nextInt(9); pos }
+      val payloads = positions.map(p => s"pay$p".getBytes("UTF-8"))
+      var start = 0
+      val offsets = positions.flatMap { _ =>
+        start += 1 + r.nextInt(20)
+        val end = start + 1 + r.nextInt(10)
+        Seq(start, end)
+      }
+      Posting(docId, tf, 1 + r.nextInt(30), positions, payloads, offsets)
+    }
+    val block = PostingCodec.encodeBlock("f", "t", run)
+    val back = PostingCodec.decodeBlock(block, withPositions = true,
+      withPayloads = true, withOffsets = true)
+    run.zip(back).foreach { case (a, b) =>
+      assert(a.docId === b.docId && a.tf === b.tf && a.dlq === b.dlq)
+      assert(a.positions.toSeq === b.positions.toSeq)
+      assert(a.payloads.map(new String(_, "UTF-8")).toSeq ===
+        b.payloads.map(new String(_, "UTF-8")).toSeq)
+      assert(a.offsets.toSeq === b.offsets.toSeq)
+    }
+    // decoding without the extras skips them
+    val lean = PostingCodec.decodeBlock(block, withPositions = false)
+    assert(lean.forall(p => p.payloads == null && p.offsets == null))
+  }
+
   test("multi-field parse: per-clause field expansion (test_engine.py:43-46)") {
     import graft.query._
     // str(stemmer.parse("searches", field=["body","title"])) == "body:search title:search"

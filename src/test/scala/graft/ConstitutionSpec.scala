@@ -55,7 +55,7 @@ class ConstitutionSpec extends SparkTestBase {
     val schema = IndexSchema(
       keyColumns = Seq("ord"),
       fields = Map(
-        "text" -> TextField("standard", positions = true),
+        "text" -> TextField("standard", positions = true, offsets = true),
         "article" -> KeywordField,
         "amendment" -> KeywordField,
         "date" -> KeywordField))
@@ -147,6 +147,12 @@ class ConstitutionSpec extends SparkTestBase {
     assert(sp.length === 1 && sp(0).getLong(0) === amendment4)
     val spans = sp(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getInt(0), r.getInt(1)))
     assert(spans === Seq((10, 13)))
+    // offsets read FROM THE INDEX (positions(offsets=True), indexers.py:256-275)
+    val off = searcher.positions("text", "persons", offsets = true).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getInt(0), x.getInt(1)))).toMap
+    assert(off(amendment4) === Seq((46, 53), (301, 308)))
+    assert(off.keySet === searcher.positions("text", "persons").collect().map(_.getLong(0)).toSet)
   }
 
   test("complete (test_engine.py:215-221)") {
