@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * frame-sample / feature-extract run as batched per-partition transforms
   * (the Scala analog of `mapInPandas`).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * byte-level "decode" targets a deterministic fake container (`GFT0`
-  * header + dims + payload) — the Spark-side plumbing (schema, binary
-  * handling, partition-batched UDFs, explode of sampled frames, embedding
-  * hand-off to [[Ann]]) is real and tested; swap `parseHeader`/`samplePixels`
-  * for a real codec to productionize.
+  * The decode boundary is REAL for the self-describing formats
+  * [[MediaCodecs]] implements from their public specs — PGM/PPM/BMP images
+  * and WAV-PCM16 audio — via [[normalize]], which decodes any supported
+  * container into the internal `GFT0` tensor container that resize /
+  * frame-sample / embed operate on. Compressed formats (jpeg/png/mp4-class)
+  * have no codecs in this environment by declared design; they are
+  * represented by the deterministic GFT0 fake, so that plumbing (schema,
+  * binary handling, batched UDFs, frame explode, embedding hand-off to
+  * [[Ann]]) stays fully exercised.
   */
 object Multimodal {
 
@@ -56,9 +59,44 @@ object Multimodal {
     Some(MediaMeta(m, w, h, f, blob.length - 20))
   }
 
-  /** Typed metadata extraction as a batched column transform. */
+  /** Decode ANY supported container into the internal GFT0 tensor container
+    * (the uniform representation downstream resize/sample/embed operate on):
+    * REAL codecs for PGM/PPM/BMP images and WAV-PCM16 audio (width = sample
+    * count, height = 1, 8-bit downsample); GFT0 passes through unchanged;
+    * unrecognized bytes (jpeg/png/mp4-class) → null, filterable upstream.
+    */
+  def normalize(blob: Array[Byte]): Array[Byte] = {
+    if (blob == null) return null
+    if (parseHeader(blob).isDefined) return blob
+    MediaCodecs.decodePgm(blob)
+      .orElse(MediaCodecs.decodePpm(blob))
+      .orElse(MediaCodecs.decodeBmp(blob)) match {
+      case Some(r) =>
+        val out = ByteBuffer.allocate(20 + r.pixels.length)
+        out.putInt(Magic).putInt(modCode("image")).putInt(r.width).putInt(r.height).putInt(1)
+        out.put(r.pixels)
+        out.array()
+      case None =>
+        MediaCodecs.decodeWav(blob) match {
+          case Some((_, mono)) =>
+            val bytes = mono.map(s => ((s >> 8) & 0xff).toByte)
+            val out = ByteBuffer.allocate(20 + bytes.length)
+            out.putInt(Magic).putInt(modCode("audio")).putInt(bytes.length).putInt(1).putInt(1)
+            out.put(bytes)
+            out.array()
+          case None => null
+        }
+    }
+  }
+
+  def normalizeCol(blobCol: String) =
+    udf((b: Array[Byte]) => normalize(b)).apply(col(blobCol))
+
+  /** Typed metadata extraction as a batched column transform (recognizes
+    * both the internal container and the real formats via [[normalize]]).
+    */
   def withMeta(df: DataFrame, blobCol: String): DataFrame = {
-    val metaUdf = udf((blob: Array[Byte]) => parseHeader(blob))
+    val metaUdf = udf((blob: Array[Byte]) => parseHeader(normalize(blob)))
     df.withColumn("meta", metaUdf(col(blobCol)))
   }
 

@@ -1,10 +1,12 @@
 package graft
 
-import graft.ops.{Ann, Multimodal}
+import graft.ops.{Ann, MediaCodecs, Multimodal}
+import graft.ops.MediaCodecs.Raster
 
 /** Multimodal binary-column plumbing: schema, batched decode/resize/frame
-  * sampling, embedding hand-off to ANN — on the deterministic fake
-  * container (real codecs are stubbed by design).
+  * sampling, embedding hand-off to ANN. The decode boundary is REAL for
+  * PGM/PPM/BMP/WAV (library-free formats implemented from spec in
+  * MediaCodecs); compressed formats remain the declared GFT0 stub.
   */
 class MultimodalSpec extends SparkTestBase {
   import org.apache.spark.sql.functions._
@@ -54,6 +56,70 @@ class MultimodalSpec extends SparkTestBase {
       val meta = Multimodal.parseHeader(r.getAs[Array[Byte]]("frame")).get
       assert(meta.frames === 1 && meta.width === 16)
     }
+  }
+
+  test("PGM codec: header with comments, raw pixels decode exactly") {
+    val pix = Array.tabulate(8)(i => (i * 30).toByte)
+    val pgm = "P5\n# a comment\n4 2\n255\n".getBytes("US-ASCII") ++ pix
+    val r = MediaCodecs.decodePgm(pgm).get
+    assert(r.width === 4 && r.height === 2)
+    assert(r.pixels.toSeq === pix.toSeq)
+    // encoder roundtrip
+    assert(MediaCodecs.decodePgm(MediaCodecs.encodePgm(r)).get.pixels.toSeq === pix.toSeq)
+    // truncated payload rejected
+    assert(MediaCodecs.decodePgm(pgm.dropRight(1)) === None)
+  }
+
+  test("PPM codec: gray RGB decodes to the same luma value") {
+    val body = Array.fill(6)(Array[Byte](100.toByte, 100.toByte, 100.toByte)).flatten
+    val ppm = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ body
+    val r = MediaCodecs.decodePpm(ppm).get
+    assert(r.width === 3 && r.height === 2)
+    assert(r.pixels.forall(p => (p & 0xff) === 100))
+  }
+
+  test("BMP codec: 24-bit bottom-up rows, padding, BGR order") {
+    // 3x2 gradient encoded through our spec-writer, decoded back
+    val bmp = MediaCodecs.encodeBmp24(Raster(3, 2, null), (x, y) => {
+      val v = 40 * (y * 3 + x); (v, v, v)
+    })
+    val r = MediaCodecs.decodeBmp(bmp).get
+    assert(r.width === 3 && r.height === 2)
+    assert(r.pixels.map(_ & 0xff).toSeq === Seq(0, 40, 80, 120, 160, 200))
+    assert(MediaCodecs.decodeBmp("notabmp".getBytes) === None)
+  }
+
+  test("WAV codec: PCM16 stereo averages to mono, rate preserved") {
+    val samples = Array[Short](100, 200, -100, -200, 1000, 3000)
+    val wav = MediaCodecs.encodeWav(8000, 2, samples)
+    val (rate, mono) = MediaCodecs.decodeWav(wav).get
+    assert(rate === 8000)
+    assert(mono.toSeq === Seq[Short](150, -150, 2000))
+  }
+
+  test("normalize: real formats decode into the internal container end-to-end") {
+    val s = spark
+    import s.implicits._
+    val pgm = MediaCodecs.encodePgm(Raster(4, 2, Array.tabulate(8)(i => (i * 30).toByte)))
+    val bmp = MediaCodecs.encodeBmp24(Raster(3, 2, null), (x, y) => { val v = 10 * (x + y); (v, v, v) })
+    val wav = MediaCodecs.encodeWav(8000, 1, Array.tabulate(16)(i => (i * 1000).toShort))
+    val gft = Multimodal.encodeFake("image", 16, 8, 1, seed = 7L)
+    val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) // no codec → null
+    val df = Seq((0L, pgm), (1L, bmp), (2L, wav), (3L, gft), (4L, jpegish)).toDF("id", "blob")
+    val norm = df.withColumn("t", Multimodal.normalizeCol("blob"))
+    assert(norm.filter(col("t").isNull).select("id").collect().map(_.getLong(0)).toSeq === Seq(4L))
+    val metas = Multimodal.withMeta(norm.filter(col("t").isNotNull), "t")
+      .select("id", "meta.modality", "meta.width", "meta.height").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(metas(0L) === (("image", 4, 2)))
+    assert(metas(1L) === (("image", 3, 2)))
+    assert(metas(2L) === (("audio", 16, 1)))
+    assert(metas(3L) === (("image", 16, 8)))
+    // decoded real image flows through resize + embed like any container
+    val resized = Multimodal.resize(Multimodal.normalize(pgm), 2, 1)
+    val meta = Multimodal.parseHeader(resized).get
+    assert(meta.width === 2 && meta.height === 1)
+    assert(Multimodal.embed(Multimodal.normalize(bmp), 8).length === 8)
   }
 
   test("stub embeddings feed the ANN operators") {
