@@ -117,6 +117,38 @@ class WandSpec extends SparkTestBase {
     assert(got(Q.all(Term("content", "def"), Term("content", "zzz_missing"))).isEmpty)
   }
 
+  test("phrase/near/conjunction stay exact on multi-bucket corpora (>8192 docs)") {
+    val big = IndexBuilder.build(CodeCorpus.generate(spark, 10000, 8), schema, 4)
+    val sBig = new Searcher(big)
+    // independent baseline: decode both terms' postings locally and run the
+    // matcher per doc on the driver
+    def localPositions(t: String): Map[Long, Array[Int]] =
+      big.blocks.filter(col("term") === t).collect()
+        .flatMap(b => graft.index.PostingCodec.decodeBlock(b, withPositions = true))
+        .map(p => p.docId -> p.positions).toMap
+    val (pa, pb) = (localPositions("the"), localPositions("parse"))
+    val common = (pa.keySet intersect pb.keySet).toSeq.sorted
+    // near(the, parse, slop 4, ordered)
+    val expectedNear = common.filter { id =>
+      graft.exec.PhraseMatcher.nearFreq(Array(pa(id), pb(id)), 4, inOrder = true) > 0
+    }
+    val gotNear = sBig.search(Near("content", Seq("the", "parse"), slop = 4, inOrder = true), 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotNear === expectedNear)
+    assert(gotNear.exists(_ >= (1L << IndexBuilder.SaltShift)), "spans multiple buckets")
+    // exact phrase "the parse" (offset-shifted intersection)
+    val expectedPhrase = common.filter { id =>
+      graft.exec.PhraseMatcher.phraseFreq(Array(pa(id), pb(id).map(_ - 1)), 0) > 0
+    }
+    val gotPhrase = sBig.search(Q.phrase("content", "the", "parse"), 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotPhrase === expectedPhrase)
+    // conjunction doc set = postings intersection
+    val gotAnd = sBig.search(Q.all(Term("content", "the"), Term("content", "parse")), 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotAnd === common)
+  }
+
   test("WAND prunes: decodes fewer blocks than exist for small k") {
     // rare + hot mix: docs lacking the high-idf rare term can't compete, so
     // hot-term blocks between rare-term docs are skipped undecoded.
