@@ -364,15 +364,15 @@ class Searcher(val index: Index) extends Serializable {
     *     still contains a live candidate.
     */
   private def positionalMatches(field: String, dfOrder: Seq[String]): Dataset[(Long, Int, Array[Array[Int]])] =
-    positionalMatchesKeys(dfOrder.map((field, _)), Nil)
+    positionalMatchesKeys(dfOrder.map((field, _)), Nil, field)
 
   /** Keyed variant for span queries: `required` keys (rarest-first) drive the
     * bucket pruning and the conjunctive intersect; `optional` keys (span-Or
     * branches, Not-excludes) attach to surviving docs. With no required keys
     * (pure disjunction) every key's blocks shuffle — no pruning is sound.
     */
-  private def positionalMatchesKeys(required: Seq[(String, String)], optional: Seq[(String, String)]):
-      Dataset[(Long, Int, Array[Array[Int]])] = {
+  private def positionalMatchesKeys(required: Seq[(String, String)], optional: Seq[(String, String)],
+      dlqField: String): Dataset[(Long, Int, Array[Array[Int]])] = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val bucket = shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift)
     val keys = required ++ optional
@@ -390,9 +390,10 @@ class Searcher(val index: Index) extends Serializable {
     }
     val req = required.toArray
     val opt = optional.toArray
+    val dlqF = dlqField
     pruned
       .repartition(parts, bucket)
-      .mapPartitions(it => PhraseMatcher.intersectKeyed(req, opt, it))
+      .mapPartitions(it => PhraseMatcher.intersectKeyed(req, opt, dlqF, it))
   }
 
   /** (distinct terms rarest-first, their stats) or None when any term is
@@ -484,7 +485,7 @@ class Searcher(val index: Index) extends Serializable {
     val (required, optional, slotOf, _) = spanPlan(sq)
       .getOrElse(return spark.emptyDataset[(Long, Array[(Int, Int)])].toDF("docId", "spans"))
     val tree = sq
-    positionalMatchesKeys(required, optional)
+    positionalMatchesKeys(required, optional, sq.field)
       .map { case (docId, _, lists) =>
         (docId, SpanEval.eval(tree, slotOf, lists).map(s => (s._1, s._2)))
       }
@@ -500,7 +501,7 @@ class Searcher(val index: Index) extends Serializable {
     val st = index.fieldStats.getOrElse(sq.field, return emptyMatches)
     val (required, optional, slotOf, w) = spanPlan(sq).getOrElse(return emptyMatches)
     val tree = sq
-    val matched = positionalMatchesKeys(required, optional)
+    val matched = positionalMatchesKeys(required, optional, sq.field)
       .map { case (docId, dlq, lists) =>
         (docId, SpanEval.freq(SpanEval.eval(tree, slotOf, lists)), dlq)
       }
@@ -910,11 +911,14 @@ class Searcher(val index: Index) extends Serializable {
     * variant, analyzers.py:140-150): Lucene MultiFieldQueryParser semantics —
     * each default-field clause expands to a SHOULD across the fields (so
     * op="and" requires every clause in SOME field, not a whole-query match
-    * in one field); the analyzer comes from the first field.
+    * in one field). Each field's atom analyzes with THAT field's registered
+    * analyzer, so the expanded terms exist in the index each clause targets
+    * (the reference shares one analyzer across fields; with per-field
+    * analyzers that would silently match nothing on the stemmed field).
     */
   def parseMultiField(q: String, fieldBoosts: Map[String, Double], op: String = "or"): Query =
     new QueryParser(fieldBoosts.toSeq.sortBy(_._1),
-      index.schema.analyzerFor(fieldBoosts.keys.min), op).parse(q)
+      (f: String) => index.schema.analyzerFor(f), op).parse(q)
 
   private def respell(q: Query): Query = q match {
     case Term(f, t) if docFreq(f, t) == 0 =>
@@ -1041,9 +1045,15 @@ object PhraseMatcher {
     * to surviving docs (absent → empty list). With NO required keys the docs
     * are the union over optional keys (pure span disjunction).
     * Output lists follow required ++ optional order.
+    *
+    * `dlqField` picks which field's quantized length rides out for scoring:
+    * a doc's dlq is overwritten whenever a key OF THAT FIELD decodes it, so
+    * cross-field (masked) span queries normalize by the scoring field's
+    * norms, not whichever leaf happened to be rarest. Docs never touched by
+    * a dlqField key keep the first decoder's dlq (best effort).
     */
   def intersectKeyed(required: Array[(String, String)], optional: Array[(String, String)],
-      blocks: Iterator[graft.index.PostingBlock]): Iterator[(Long, Int, Array[Array[Int]])] = {
+      dlqField: String, blocks: Iterator[graft.index.PostingBlock]): Iterator[(Long, Int, Array[Array[Int]])] = {
     import graft.index.PostingCodec
     val byKey = blocks.toArray.groupBy(b => (b.field, b.term))
     val n = required.length + optional.length
@@ -1059,9 +1069,11 @@ object PhraseMatcher {
       poss = first.map { p => val a = new Array[Array[Int]](n); a(0) = p.positions; a }
       var k = 1
       while (k < required.length && docIds.nonEmpty) {
+        val isDlqKey = required(k)._1 == dlqField
         val termBlocks = byKey(required(k)).sortBy(_.firstDocId)
         val keep = new scala.collection.mutable.ArrayBuffer[Int](docIds.length)
         val newPos = new scala.collection.mutable.ArrayBuffer[Array[Int]](docIds.length)
+        val newDlq = new scala.collection.mutable.ArrayBuffer[Int](docIds.length)
         var lo = 0
         var bi = 0
         while (bi < termBlocks.length && lo < docIds.length) {
@@ -1075,7 +1087,10 @@ object PhraseMatcher {
               val d = decoded(i).docId
               if (d < docIds(j)) i += 1
               else if (d > docIds(j)) j += 1
-              else { keep += j; newPos += decoded(i).positions; i += 1; j += 1 }
+              else {
+                keep += j; newPos += decoded(i).positions; newDlq += decoded(i).dlq
+                i += 1; j += 1
+              }
             }
             lo = j // blocks are disjoint ascending: nothing before j can match later
           }
@@ -1087,7 +1102,8 @@ object PhraseMatcher {
         var x = 0
         while (x < m) {
           val src = keep(x)
-          nd(x) = docIds(src); nq(x) = dlqs(src)
+          nd(x) = docIds(src)
+          nq(x) = if (isDlqKey) newDlq(x) else dlqs(src)
           val a = poss(src); a(k) = newPos(x); np(x) = a
           x += 1
         }
@@ -1099,10 +1115,12 @@ object PhraseMatcher {
       val acc = scala.collection.mutable.LongMap.empty[(Int, Array[Array[Int]])]
       var j = 0
       while (j < optional.length) {
+        val isDlqKey = optional(j)._1 == dlqField
         byKey.get(optional(j)).foreach(_.foreach { b =>
           PostingCodec.decodeBlock(b, withPositions = true).foreach { p =>
             val e = acc.getOrElseUpdate(p.docId, (p.dlq, new Array[Array[Int]](n)))
             e._2(j) = p.positions
+            if (isDlqKey && e._1 != p.dlq) acc(p.docId) = (p.dlq, e._2)
           }
         })
         j += 1
@@ -1114,6 +1132,8 @@ object PhraseMatcher {
     if (required.nonEmpty && optional.nonEmpty && docIds.nonEmpty) {
       var j = 0
       while (j < optional.length) {
+        val isDlqKey = optional(j)._1 == dlqField && required(0)._1 != dlqField &&
+          !required.exists(_._1 == dlqField)
         val slot = required.length + j
         byKey.get(optional(j)).foreach { bsAll =>
           val bs = bsAll.sortBy(_.firstDocId)
@@ -1130,7 +1150,11 @@ object PhraseMatcher {
                 val d = decoded(i).docId
                 if (d < docIds(jj)) i += 1
                 else if (d > docIds(jj)) jj += 1
-                else { poss(jj)(slot) = decoded(i).positions; i += 1; jj += 1 }
+                else {
+                  poss(jj)(slot) = decoded(i).positions
+                  if (isDlqKey) dlqs(jj) = decoded(i).dlq
+                  i += 1; jj += 1
+                }
               }
               lo = jj
             }

@@ -72,7 +72,7 @@ object CheckpointedBuild {
     // Stage 3: derived term dictionary + stats + manifest.
     val blocks = {
       import spark.implicits._
-      spark.read.parquet(s"$dir/postings")
+      IndexBuilder.withBlobDefaults(spark.read.parquet(s"$dir/postings"))
         .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
           "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob", "offsetsBlob")
         .as[PostingBlock]

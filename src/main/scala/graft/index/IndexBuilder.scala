@@ -541,6 +541,15 @@ object IndexBuilder {
       }
     }
 
+  /** Backfill blob columns absent from postings persisted by layouts that
+    * predate them (payloads/offsets) — read-compat mirrors the manifest
+    * parser's tolerance of old field lines.
+    */
+  def withBlobDefaults(df: DataFrame): DataFrame =
+    Seq("payloadsBlob", "offsetsBlob").foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(Array.empty[Byte])))
+
   def load(spark: SparkSession, dir: String): Index = {
     import spark.implicits._
     val manifest = IndexManifest.read(spark, s"$dir/manifest")
@@ -554,7 +563,7 @@ object IndexBuilder {
       spark,
       manifest.schema,
       spark.read.parquet(s"$dir/docs"),
-      spark.read.parquet(s"$dir/postings").as[PostingBlock],
+      withBlobDefaults(spark.read.parquet(s"$dir/postings")).as[PostingBlock],
       spark.read.parquet(s"$dir/termdict"),
       manifest.fieldStats,
       deletes

@@ -21,8 +21,14 @@ import graft.streaming.StreamingIndexer
   * the bulk paths use ([[IndexBuilder]], [[CheckpointedBuild]],
   * [[graft.streaming.StreamingIndexer]]).
   */
-/** A pinned commit: the segment ids visible when [[Indexer.snapshot]] ran. */
-final case class IndexPin(segmentIds: Seq[Long])
+/** A pinned commit: the segment ids, delete part-files, and docvalue-update
+  * generations visible when [[Indexer.snapshot]] ran. Appends only ever ADD
+  * part-files/generations, so the named files stay immutable while the
+  * writer advances — a Lucene commit point (including its .liv deletes and
+  * dv-gen files), Spark-shaped.
+  */
+final case class IndexPin(segmentIds: Seq[Long], deleteFiles: Seq[String] = Seq.empty,
+    dvGens: Seq[String] = Seq.empty)
 
 final class Indexer(
     val spark: SparkSession,
@@ -181,10 +187,18 @@ final class Indexer(
     * just the set of committed segment ids — the writer keeps advancing and
     * the pinned files stay valid (nothing deletes committed segments).
     */
-  def snapshot(): IndexPin =
-    if (!fs.exists(new Path(s"$dir/segments"))) IndexPin(Seq.empty)
-    else IndexPin(spark.read.parquet(s"$dir/segments")
-      .select("segmentId").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq)
+  def snapshot(): IndexPin = {
+    def ls(sub: String): Seq[String] = {
+      val p = new Path(s"$dir/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    }
+    val segs =
+      if (!fs.exists(new Path(s"$dir/segments"))) Seq.empty[Long]
+      else spark.read.parquet(s"$dir/segments")
+        .select("segmentId").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+    IndexPin(segs, ls("deletes"), ls("dvupdates"))
+  }
 
   /** Copy a pinned commit to `dst` as a standalone index directory
     * (reference `engine.indexers.copy(commit, path)`,
@@ -193,14 +207,18 @@ final class Indexer(
     */
   def copy(pin: IndexPin, dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    pin.segmentIds.foreach { id =>
-      Seq("docs", "postings").foreach { sub =>
-        val src = new Path(s"$dir/$sub/segment=$id")
-        if (!fs.exists(src)) throw new java.io.IOException(s"pinned segment missing: $src")
-        org.apache.hadoop.fs.FileUtil.copy(fs, src,
-          fs, new Path(s"$dst/$sub/segment=$id"), false, conf)
-      }
+    def copyPath(rel: String): Unit = {
+      val src = new Path(s"$dir/$rel")
+      if (!fs.exists(src)) throw new java.io.IOException(s"pinned file missing: $src")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, new Path(s"$dst/$rel"), false, conf)
     }
+    pin.segmentIds.foreach { id =>
+      Seq("docs", "postings").foreach(sub => copyPath(s"$sub/segment=$id"))
+    }
+    // the commit point includes its tombstones and dv-update generations
+    // (Lucene .liv / dv-gen files); files appended after the pin are not seen
+    pin.deleteFiles.foreach(f => copyPath(s"deletes/$f"))
+    pin.dvGens.foreach(g => copyPath(s"dvupdates/$g"))
     spark.read.parquet(s"$dir/segments")
       .filter(col("segmentId").isin(pin.segmentIds.map(_.toInt): _*))
       .write.mode("overwrite").parquet(s"$dst/segments")

@@ -49,7 +49,9 @@ object MediaCodecs {
       (w, i1) <- pbmInt(b, 2)
       (h, i2) <- pbmInt(b, i1)
       (maxv, i3) <- pbmInt(b, i2)
-      if maxv > 0 && maxv < 256 && i3 < b.length && b.length - (i3 + 1) >= w * h
+      // long arithmetic: crafted huge dims must fail the guard, not overflow
+      if maxv > 0 && maxv < 256 && w > 0 && h > 0 && i3 < b.length &&
+        (b.length - (i3 + 1)).toLong >= w.toLong * h
     } yield Raster(w, h, java.util.Arrays.copyOfRange(b, i3 + 1, i3 + 1 + w * h))
   }
 
@@ -62,7 +64,8 @@ object MediaCodecs {
       (w, i1) <- pbmInt(b, 2)
       (h, i2) <- pbmInt(b, i1)
       (maxv, i3) <- pbmInt(b, i2)
-      if maxv > 0 && maxv < 256 && i3 < b.length && b.length - (i3 + 1) >= w * h * 3
+      if maxv > 0 && maxv < 256 && w > 0 && h > 0 && i3 < b.length &&
+        (b.length - (i3 + 1)).toLong >= w.toLong * h * 3
     } yield {
       val px = new Array[Byte](w * h)
       var p = i3 + 1
@@ -95,8 +98,11 @@ object MediaCodecs {
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (b.length < dataOff + rowBytes * h) return None
+    // long arithmetic: dims from untrusted bytes must fail, not wrap
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 0 || b.length.toLong < dataOff.toLong + rowBytesL * h ||
+        w.toLong * h > Int.MaxValue) return None
+    val rowBytes = rowBytesL.toInt
     val px = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
@@ -152,14 +158,16 @@ object MediaCodecs {
     while (at + 8 <= b.length) {
       val id = new String(b, at, 4, "US-ASCII")
       val len = le32(b, at + 4)
+      if (len < 0) return None // malformed 32-bit length: never loop or wrap
       if (id == "fmt " && at + 8 + 16 <= b.length) {
         val audioFormat = le16(b, at + 8)
         if (audioFormat != 1) return None // PCM only
         fmt = Some((le16(b, at + 10), le32(b, at + 12), le16(b, at + 22)))
       } else if (id == "data") {
-        data = Some((at + 8, math.min(len, b.length - at - 8)))
+        data = Some((at + 8, math.max(0, math.min(len, b.length - at - 8))))
       }
-      at += 8 + len + (len & 1) // chunks are word-aligned
+      val step = 8L + len + (len & 1) // chunks are word-aligned
+      if (at + step > b.length) at = b.length else at += step.toInt
     }
     for {
       (channels, rate, bits) <- fmt

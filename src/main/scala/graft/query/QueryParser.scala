@@ -21,9 +21,18 @@ import graft.analysis.Analyzer
   * `body:search title:search`, and with op=and each clause-group is a MUST —
   * while an explicit `field:` prefix suppresses expansion.
   */
-final class QueryParser(defaultFields: Seq[(String, Double)], analyzer: Analyzer, op: String) {
+final class QueryParser(defaultFields: Seq[(String, Double)], analyzerOf: String => Analyzer, op: String) {
 
-  def this(field: String, analyzer: Analyzer, op: String) = this(Seq(field -> 1.0), analyzer, op)
+  /** Single shared analyzer for every field — the reference's shape (its
+    * parser IS an analyzer method). The primary constructor instead resolves
+    * an analyzer PER FIELD, so multi-field expansion analyzes each clause
+    * with the analyzer whose output that field's index actually contains
+    * (e.g. a stemmed title next to a code-tokenized body).
+    */
+  def this(defaultFields: Seq[(String, Double)], analyzer: Analyzer, op: String) =
+    this(defaultFields, (_: String) => analyzer, op)
+  def this(field: String, analyzer: Analyzer, op: String) =
+    this(Seq(field -> 1.0), (_: String) => analyzer, op)
   def this(field: String, analyzer: Analyzer) = this(field, analyzer, "or")
 
   private val must = op.equalsIgnoreCase("and")
@@ -198,8 +207,8 @@ final class QueryParser(defaultFields: Seq[(String, Double)], analyzer: Analyzer
     private def atomToQuery(fields: Seq[(String, Double)], t: Tok): Query =
       if (fields.length == 1 && fields.head._2 == 1.0) singleFieldAtom(fields.head._1, t)
       else {
-        val subs = fields.map { case (f, b) => withBoost(singleFieldAtom(f, t), b) }
-          .filterNot(_ == NoDocs)
+        val subs = fields.map { case (f, b) => (singleFieldAtom(f, t), b) }
+          .collect { case (q, b) if q != NoDocs => withBoost(q, b) }
         subs match {
           case Seq()  => NoDocs
           case Seq(q) => q
@@ -209,7 +218,7 @@ final class QueryParser(defaultFields: Seq[(String, Double)], analyzer: Analyzer
 
     private def singleFieldAtom(field: String, t: Tok): Query = t match {
       case Phrase0(text, slop, b) =>
-        val terms = analyzer.terms(text)
+        val terms = analyzerOf(field).terms(text)
         val q: Query =
           if (terms.isEmpty) NoDocs
           else if (terms.length == 1) Term(field, terms.head)
@@ -222,7 +231,7 @@ final class QueryParser(defaultFields: Seq[(String, Double)], analyzer: Analyzer
       case Word(text, fuzzyEdits, b) =>
         if (text.isEmpty) return NoDocs
         val q: Query = fuzzyEdits match {
-          case Some(ed) => Fuzzy(field, analyzer.terms(text).headOption.getOrElse(text), ed)
+          case Some(ed) => Fuzzy(field, analyzerOf(field).terms(text).headOption.getOrElse(text), ed)
           case None =>
             if (text.contains('*') || text.contains('?')) {
               val lowered = text.toLowerCase(java.util.Locale.ROOT)
@@ -230,7 +239,7 @@ final class QueryParser(defaultFields: Seq[(String, Double)], analyzer: Analyzer
                 Prefix(field, lowered.dropRight(1))
               else Wildcard(field, lowered)
             } else {
-              val terms = analyzer.terms(text)
+              val terms = analyzerOf(field).terms(text)
               if (terms.isEmpty) NoDocs
               else if (terms.length == 1) Term(field, terms.head)
               else {

@@ -141,8 +141,12 @@ object SpanEval {
 
   /** Ordered near over sub-span lists: for each first-clause span, greedily
     * chain the earliest following span per clause (start ≥ previous end);
-    * match slack = (end − start) − Σ minimal widths ≤ slop. Generalizes the
-    * gold-pinned PhraseMatcher.orderedNearSpans from positions to spans.
+    * match slack = Σ gaps BETWEEN consecutive sub-spans ≤ slop — i.e.
+    * (end − start) − Σ ACTUAL sub-span widths, Lucene NearSpansOrdered's
+    * matchWidth. A sub-span's internal slack counts only inside that
+    * sub-query's own slop, never again here. Generalizes the gold-pinned
+    * PhraseMatcher.orderedNearSpans from positions to spans (identical on
+    * width-1 term spans).
     */
   private def nearOrdered(subs: Array[Array[Span]], slop: Int): Array[Span] = {
     val out = Array.newBuilder[Span]
@@ -151,8 +155,7 @@ object SpanEval {
     while (i < first.length) {
       val s0 = first(i)
       var end = s0._2
-      var widths = (s0._2 - s0._1) - s0._3 // minimal width of this sub-match
-      var innerSlack = s0._3
+      var widths = s0._2 - s0._1 // ACTUAL width of the chosen sub-match
       var ok = true
       var c = 1
       while (c < subs.length && ok) {
@@ -163,13 +166,12 @@ object SpanEval {
         else {
           val sc = l(j)
           end = sc._2
-          widths += (sc._2 - sc._1) - sc._3
-          innerSlack += sc._3
+          widths += sc._2 - sc._1
           c += 1
         }
       }
       if (ok) {
-        val slack = (end - s0._1) - widths
+        val slack = (end - s0._1) - widths // Σ gaps between sub-spans
         if (slack <= slop) out += ((s0._1, end, slack))
       }
       i += 1
@@ -177,8 +179,13 @@ object SpanEval {
     out.result()
   }
 
-  /** Unordered near: sliding minimal window over one span per clause;
-    * emit when window slack ≤ slop, advance the earliest-starting clause.
+  /** Unordered near: sliding window over one span per clause; emit when the
+    * window's gap slack ((max end − min start) − Σ actual widths) ≤ slop,
+    * then advance ONLY the earliest-starting clause — later windows sharing
+    * the other sub-spans are still enumerated (advancing all pointers would
+    * undercount the sloppy frequency). Overlapping sub-spans yield negative
+    * slack, clamped to 0 (documented divergence: recent Lucene rejects some
+    * overlap shapes in unordered near).
     */
   private def nearUnordered(subs: Array[Array[Span]], slop: Int): Array[Span] = {
     val n = subs.length
@@ -192,15 +199,12 @@ object SpanEval {
         val s = subs(i)(ptr(i))
         if (s._1 < mn) { mn = s._1; mnIdx = i }
         if (s._2 > mx) mx = s._2
-        widths += (s._2 - s._1) - s._3
+        widths += s._2 - s._1
         i += 1
       }
       val slack = (mx - mn) - widths
-      if (slack <= slop) {
-        out += ((mn, mx, math.max(0, slack)))
-        var k = 0
-        while (k < n) { ptr(k) += 1; k += 1 }
-      } else ptr(mnIdx) += 1
+      if (slack <= slop) out += ((mn, mx, math.max(0, slack)))
+      ptr(mnIdx) += 1
     }
     out.result()
   }

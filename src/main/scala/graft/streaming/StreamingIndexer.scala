@@ -78,7 +78,7 @@ object StreamingIndexer {
   def open(spark: SparkSession, dir: String, schema: IndexSchema): Index = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/docs").drop("segment")
-    val blocks = spark.read.parquet(s"$dir/postings")
+    val blocks = IndexBuilder.withBlobDefaults(spark.read.parquet(s"$dir/postings"))
       .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
         "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob", "offsetsBlob")
       .as[PostingBlock]

@@ -196,6 +196,21 @@ class CodecSpec extends AnyFunSuite {
       Occur.Must -> Bool(Seq(Occur.Should -> Term("f1", "people"), Occur.Should -> Term("f2", "people"))))))
     // explicit field: prefix suppresses expansion
     assert(pAnd.parse("f9:only") === Term("f9", "only"))
+    // an atom analyzing to zero tokens drops out even with field boosts —
+    // Boost(NoDocs) must never survive as an impossible MUST clause
+    val pBoosted = new QueryParser(Seq("f1" -> 2.0, "f2" -> 3.0),
+      graft.analysis.Analyzers.standard, "and")
+    // (single surviving clause unwraps from the top-level Bool)
+    assert(pBoosted.parse("é spark") === Bool(Seq(
+      Occur.Should -> Boost(Term("f1", "spark"), 2.0),
+      Occur.Should -> Boost(Term("f2", "spark"), 3.0))))
+    // per-field analyzers: each field's clause uses ITS index's analyzer
+    val mixed = new QueryParser(Seq("body" -> 1.0, "title" -> 1.0),
+      (f: String) => if (f == "title") graft.analysis.Analyzers.byName("porter")
+                     else graft.analysis.Analyzers.standard, "or")
+    assert(mixed.parse("searches") === Bool(Seq(
+      Occur.Should -> Term("body", "searches"),   // standard: unstemmed
+      Occur.Should -> Term("title", "search")))) // porter: stemmed
   }
 
   test("EditDistance.damerau: OSA semantics (transposition = 1 edit)") {

@@ -155,4 +155,34 @@ class IndexerFacadeSpec extends SparkTestBase {
     // source unaffected
     assert(w.count(Term("content", "three")) === 1L)
   }
+
+  test("pin carries its tombstones + dv updates; later ones stay out (commit-point semantics)") {
+    val dir = Files.createTempDirectory("graft-pin2").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "one two")
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "en", "content" -> "three four")
+    w.commit()
+    w.delete(Term("content", "three"))
+    w.commit()
+    w.updateDocValues(Term("content", "one"), "commit" -> "cPinned")
+    val pin = w.snapshot()
+    assert(pin.deleteFiles.nonEmpty && pin.dvGens.nonEmpty)
+
+    // writer advances PAST the pin: another delete + another dv update
+    w.delete(Term("content", "one"))
+    w.commit()
+    w.updateDocValues(Term("content", "one"), "commit" -> "cAfter")
+
+    val dst = Files.createTempDirectory("graft-pin2-dst").toString
+    w.copy(pin, dst)
+    val r = new Indexer(spark, dst, idxSchema, srcSchema)
+    // pinned delete visible; post-pin delete not
+    assert(r.count(Term("content", "three")) === 0L)
+    assert(r.count(Term("content", "one")) === 1L)
+    // pinned dv update visible; post-pin generation not
+    assert(r.searcher.index.docs.filter(org.apache.spark.sql.functions.col("docId") === 0L)
+      .select("commit").collect()(0).getString(0) === "cPinned")
+    // source sees everything
+    assert(w.count(Term("content", "one")) === 0L)
+  }
 }

@@ -122,6 +122,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.embed(Multimodal.normalize(bmp), 8).length === 8)
   }
 
+  test("codecs reject malformed bytes with None — no crash, no hang") {
+    // PGM with overflowing dims (46341² > Int.MaxValue)
+    val hugePgm = "P5\n46341 46341\n255\n".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte)
+    assert(MediaCodecs.decodePgm(hugePgm) === None)
+    // BMP with wrap-around row math
+    val hugeBmp = MediaCodecs.encodeBmp24(Raster(2, 2, null), (_, _) => (0, 0, 0))
+    val patched = hugeBmp.clone()
+    // width := 40000, height := 40000 (little-endian at 18/22)
+    def putLe32(at: Int, v: Int): Unit = {
+      patched(at) = (v & 0xff).toByte; patched(at + 1) = ((v >> 8) & 0xff).toByte
+      patched(at + 2) = ((v >> 16) & 0xff).toByte; patched(at + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(18, 40000); putLe32(22, 40000)
+    assert(MediaCodecs.decodeBmp(patched) === None)
+    // WAV with a 0xFFFFFFF8 chunk length (would loop forever unguarded)
+    val evilWav = MediaCodecs.encodeWav(8000, 1, Array[Short](1, 2, 3)).clone()
+    putLe32Into(evilWav, 16, 0xfffffff8)
+    assert(MediaCodecs.decodeWav(evilWav) === None)
+    // and all of them flow through normalize as null, not exceptions
+    assert(Multimodal.normalize(hugePgm) === null)
+    assert(Multimodal.normalize(patched) === null)
+  }
+
+  private def putLe32Into(b: Array[Byte], at: Int, v: Int): Unit = {
+    b(at) = (v & 0xff).toByte; b(at + 1) = ((v >> 8) & 0xff).toByte
+    b(at + 2) = ((v >> 16) & 0xff).toByte; b(at + 3) = ((v >> 24) & 0xff).toByte
+  }
+
   test("stub embeddings feed the ANN operators") {
     val emb = media.select(col("id"), Multimodal.embedCol("blob", 8).as("embedding"))
     val q = Multimodal.embed(Multimodal.encodeFake("image", 16, 8, 1, seed = 1L), 8).toSeq

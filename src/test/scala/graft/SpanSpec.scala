@@ -111,4 +111,32 @@ class SpanSpec extends SparkTestBase {
     val q = a | Q.span("content", "x")
     assert(spansOf(q).keySet === Set(0L, 1L, 2L))
   }
+
+  test("nested near: a sub-span's internal slack never counts against the outer slop") {
+    // p1 "c a a d b": inner near(c, a, slop=1) from c0 chains a1 → span (0,2,slack 0)
+    // and there is no tighter start; inner near(c, d, slop=3) → (0,4, slack 2).
+    // outer near(inner, b, slop=0): gap between (0,4) and b(4,5) is 0 — the
+    // inner slack of 2 must NOT be re-charged to the outer window.
+    val inner = SpanQ.near(Seq(c, d), slop = 3, inOrder = true)
+    val outer = SpanQ.near(Seq(inner, b), slop = 0, inOrder = true)
+    assert(spansOf(outer) === Map(1L -> Seq((0, 5))))
+    // and with an outer gap of 1 (p0: near(a,c,slop 1)=(0,3); e at 4 gives gap 1)
+    val inner0 = SpanQ.near(Seq(a, c), slop = 1, inOrder = true)
+    assert(spansOf(SpanQ.near(Seq(inner0, Q.span("content", "e")), slop = 0, inOrder = true))
+      === Map.empty) // gap d(3) separates: slack 1 > 0
+    assert(spansOf(SpanQ.near(Seq(inner0, Q.span("content", "e")), slop = 1, inOrder = true))
+      === Map(0L -> Seq((0, 5))))
+  }
+
+  test("unordered near enumerates windows sharing a sub-span (no pointer over-advance)") {
+    // p0 a:0,5 b:1,6 — windows (0,1),(1,5)?,(5,6): with slop 0 the pairs
+    // (a0,b1) and (a5,b6) both match; after (a0,b1) matched, b1 must still
+    // pair against a5's window evaluation path (only the min pointer moves)
+    val q = SpanQ.near(Seq(a, b), slop = 0, inOrder = false)
+    assert(spansOf(q)(0L) === Seq((0, 2), (5, 7)))
+    // overlapping windows: unordered near(b, near(a,b,0)) on p0 —
+    // sub-spans (1,2) and (0,2) overlap; slack clamps at 0, still a match
+    val overlap = SpanQ.near(Seq(b, SpanQ.near(Seq(a, b), 0, true)), slop = 0, inOrder = false)
+    assert(spansOf(overlap).contains(0L))
+  }
 }
