@@ -645,30 +645,30 @@ class Searcher(val index: Index) extends Serializable {
       byValue: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = eval(q).join(fieldValues(field), "docId")
+    // Per-group stats via ONE aggregate (map-side partial combine); group
+    // rank = the group's best (score, docId) hit — Lucene relevance group
+    // sort incl. the docId tie-break. NO global window anywhere (an
+    // unpartitioned dense_rank would sort every group on ONE task — the
+    // round-1 scale-killer), and the per-doc window only runs over the docs
+    // of the SURVIVING groups (semi-join prunes first). Both the aggregate
+    // and the window shuffle `scored` by value, so the exchange is reused.
+    val grpStats = scored.groupBy(col("value")).agg(
+      min(struct((col("score") * -1).as("ns"), col("docId"))).as("groupOrd"),
+      org.apache.spark.sql.functions.count(lit(1)).as("groupCount"))
+    val statKey = if (byValue) col("value") else col("groupOrd")
+    // TakeOrdered over one row per group — whole groups survive (a plain row
+    // limit on docs would truncate mid-group)
+    val top = if (groups > 0) grpStats.orderBy(statKey.asc).limit(groups) else grpStats
+    val pruned =
+      if (groups > 0) scored.join(broadcast(top.select("value")), Seq("value"), "left_semi")
+      else scored
     val wOrd = Window.partitionBy(col("value")).orderBy(col("score").desc, col("docId").asc)
-    val wAll = Window.partitionBy(col("value"))
-    val ranked = scored
+    val statsSide = if (groups > 0) broadcast(top) else top
+    pruned
       .withColumn("rn", row_number().over(wOrd))
-      .withColumn("groupCount", org.apache.spark.sql.functions.count(lit(1)).over(wAll))
-      // group rank = its best (score, docId) hit — Lucene relevance group
-      // sort incl. the docId tie-break on equal scores
-      .withColumn("groupOrd", min(struct((col("score") * -1).as("ns"), col("docId"))).over(wAll))
       .filter(col("rn") <= docsPerGroup)
-    // Rank whole groups WITHOUT a global window (an unpartitioned dense_rank
-    // would sort every group on ONE task — the round-1 scale-killer): each
-    // group's rn=1 row carries its ord, so top groups are a distributed
-    // TakeOrdered over one row per group, then a broadcast semi-join keeps
-    // only their docs. Whole groups survive (a plain row limit would truncate
-    // mid-group when a top group has fewer than docsPerGroup hits).
-    val groupKey = if (byValue) col("value") else col("groupOrd")
-    val limited =
-      if (groups > 0) {
-        val top = ranked.filter(col("rn") === 1)
-          .select(col("value"), groupKey.as("__gk"))
-          .orderBy(col("__gk").asc).limit(groups)
-        ranked.join(broadcast(top.select("value")), Seq("value"), "left_semi")
-      } else ranked
-    limited.orderBy(groupKey.asc, col("rn").asc)
+      .join(statsSide, Seq("value"))
+      .orderBy((if (byValue) col("value") else col("groupOrd")).asc, col("rn").asc)
       .select(col("value").as(field.replace('.', '_')), col("groupCount"),
         col("docId"), col("score"), col("rn"))
   }

@@ -28,7 +28,7 @@ import graft.streaming.StreamingIndexer
   * dv-gen files), Spark-shaped.
   */
 final case class IndexPin(segmentIds: Seq[Long], deleteFiles: Seq[String] = Seq.empty,
-    dvGens: Seq[String] = Seq.empty)
+    dvGens: Seq[String] = Seq.empty, epoch: Int = 0)
 
 final class Indexer(
     val spark: SparkSession,
@@ -70,12 +70,21 @@ final class Indexer(
     val indexed = values.map(_._1).filter(schema.fields.contains)
     require(indexed.isEmpty,
       s"fields ${indexed.mkString(", ")} are indexed — use update() (delete + re-add)")
+    // key columns define docId identity (DocIds.assign) — rewriting one would
+    // mint duplicate keys that a later compact() re-densifies over
+    val keys = values.map(_._1).filter(schema.keyColumns.contains)
+    require(keys.isEmpty, s"fields ${keys.mkString(", ")} are docId key columns — immutable")
     val ids = searcher.eval(matchQ).select("docId").collect().map(_.getLong(0))
     if (ids.isEmpty) return
+    // a per-column __set_ flag distinguishes "update to NULL" (clears the
+    // value, Lucene updateDocValues(field, null)) from "row not updated"
     val st = StructType(
       org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType,
-        nullable = false) +: values.map(v => sourceSchema(v._1)))
-    val rows = ids.toSeq.map(id => Row.fromSeq(id +: values.map(_._2)))
+        nullable = false) +:
+      values.flatMap(v => Seq(sourceSchema(v._1),
+        org.apache.spark.sql.types.StructField(s"__set_${v._1}",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+    val rows = ids.toSeq.map(id => Row.fromSeq(id +: values.flatMap(v => Seq(v._2, true))))
     val gen = {
       val p = new Path(s"$dir/dvupdates")
       if (!fs.exists(p)) 0 else fs.listStatus(p).length
@@ -92,11 +101,16 @@ final class Indexer(
     val gens = fs.listStatus(p).map(_.getPath).sortBy(_.getName)
     gens.foldLeft(docs) { (d, g) =>
       val u = spark.read.parquet(g.toString)
-      val ucols = u.columns.filterNot(_ == "docId").toSeq
-      val renamed = ucols.foldLeft(u)((x, c) => x.withColumnRenamed(c, s"__upd_$c"))
+      val ucols = u.columns.filterNot(c => c == "docId" || c.startsWith("__set_")).toSeq
+      val renamed = u.columns.filterNot(_ == "docId").foldLeft(u)((x, c) =>
+        x.withColumnRenamed(c, s"__upd_$c"))
       val joined = d.join(broadcast(renamed), Seq("docId"), "left")
-      ucols.foldLeft(joined)((x, c) => x.withColumn(c, coalesce(col(s"__upd_$c"), col(c))))
-        .drop(ucols.map(c => s"__upd_$c"): _*)
+      ucols.foldLeft(joined) { (x, c) =>
+        // the flag (false/null for unmatched rows) gates the overwrite, so a
+        // NULL update value genuinely clears the column
+        x.withColumn(c, when(coalesce(col(s"__upd___set_$c"), lit(false)),
+          col(s"__upd_$c")).otherwise(col(c)))
+      }.drop(u.columns.filterNot(_ == "docId").map(c => s"__upd_$c"): _*)
     }
   }
 
@@ -172,15 +186,33 @@ final class Indexer(
     fs.delete(new Path(tmp), true)
     StreamingIndexer.appendSegment(src, schema, tmp, 0L)
     val built = fs.exists(new Path(s"$tmp/segments")) // empty index ⇒ nothing written
+    // The old commit is ARCHIVED, never deleted: snapshot() pins stay valid
+    // across compaction (Lucene SnapshotDeletionPolicy semantics) until an
+    // explicit vacuum(). Every move is a checked rename — a false return or a
+    // crash here is loud and the data remains under archive/ + .compact-tmp.
+    val gen = {
+      val p = new Path(s"$dir/archive")
+      if (!fs.exists(p)) 0 else fs.listStatus(p).length
+    }
+    val archDir = f"$dir/archive/gen=$gen%06d"
+    fs.mkdirs(new Path(archDir))
     Seq("docs", "postings", "segments", "deletes", "dvupdates").foreach { sub =>
-      fs.delete(new Path(s"$dir/$sub"), true)
+      val src0 = new Path(s"$dir/$sub")
+      if (fs.exists(src0))
+        require(fs.rename(src0, new Path(s"$archDir/$sub")), s"archive rename failed: $src0")
     }
     if (built) Seq("docs", "postings", "segments").foreach { sub =>
-      fs.rename(new Path(s"$tmp/$sub"), new Path(s"$dir/$sub"))
+      require(fs.rename(new Path(s"$tmp/$sub"), new Path(s"$dir/$sub")),
+        s"compact swap-in failed for $sub — rebuilt data is in $tmp, prior commit in $archDir")
     }
     fs.delete(new Path(tmp), true)
     refresh()
   }
+
+  /** Drop all archived (pre-compaction) commits — releases every pin taken
+    * before the last compact (Lucene's snapshot release + deletion policy).
+    */
+  def vacuum(): Unit = fs.delete(new Path(s"$dir/archive"), true)
 
   /** Pin the current commit (reference IndexWriter.snapshot,
     * indexers.py:594-601): segments are immutable directories, so a pin is
@@ -197,7 +229,14 @@ final class Indexer(
       if (!fs.exists(new Path(s"$dir/segments"))) Seq.empty[Long]
       else spark.read.parquet(s"$dir/segments")
         .select("segmentId").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
-    IndexPin(segs, ls("deletes"), ls("dvupdates"))
+    // epoch = the archive generation the NEXT compact would move this commit
+    // to; segment ids restart per compaction, so the epoch disambiguates a
+    // pre-compact pin's segment=0 from a post-compact live segment=0
+    val epoch = {
+      val p = new Path(s"$dir/archive")
+      if (!fs.exists(p)) 0 else fs.listStatus(p).length
+    }
+    IndexPin(segs, ls("deletes"), ls("dvupdates"), epoch)
   }
 
   /** Copy a pinned commit to `dst` as a standalone index directory
@@ -207,11 +246,20 @@ final class Indexer(
     */
   def copy(pin: IndexPin, dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def copyPath(rel: String): Unit = {
-      val src = new Path(s"$dir/$rel")
-      if (!fs.exists(src)) throw new java.io.IOException(s"pinned file missing: $src")
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, new Path(s"$dst/$rel"), false, conf)
+    // a pinned file lives at archive/gen=<pin.epoch> once a compact has run
+    // (exactly one compact archives the commit the pin saw; ids restart per
+    // compaction, so the live tree must NOT shadow an archived pin), else in
+    // the live tree — compact() never deletes, only vacuum() does
+    def resolve(rel: String): Path = {
+      val archived = new Path(f"$dir/archive/gen=${pin.epoch}%06d/$rel")
+      if (fs.exists(archived)) return archived
+      val live = new Path(s"$dir/$rel")
+      if (fs.exists(live)) return live
+      throw new java.io.IOException(s"pinned file missing (vacuumed?): $dir/$rel")
     }
+    def copyPath(rel: String): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(fs, resolve(rel),
+        fs, new Path(s"$dst/$rel"), false, conf)
     pin.segmentIds.foreach { id =>
       Seq("docs", "postings").foreach(sub => copyPath(s"$sub/segment=$id"))
     }
@@ -219,7 +267,7 @@ final class Indexer(
     // (Lucene .liv / dv-gen files); files appended after the pin are not seen
     pin.deleteFiles.foreach(f => copyPath(s"deletes/$f"))
     pin.dvGens.foreach(g => copyPath(s"dvupdates/$g"))
-    spark.read.parquet(s"$dir/segments")
+    spark.read.parquet(resolve("segments").toString)
       .filter(col("segmentId").isin(pin.segmentIds.map(_.toInt): _*))
       .write.mode("overwrite").parquet(s"$dst/segments")
   }

@@ -87,8 +87,12 @@ object Dedup {
     val pruned =
       if (maxBucketSize <= 0) banded
       else {
+        // hot is tiny (oversized buckets only): persist so the loud logging
+        // collect doubles as materialization and the anti-join reuses it
+        // instead of re-aggregating the exploded band rows
         val hot = banded.groupBy("band", "key")
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val d = hot.agg(count(lit(1)), coalesce(sum("__bsz"), lit(0L))).collect()(0)
         if (d.getLong(0) > 0)
           System.err.println(s"[graft.Dedup] LSH hot-bucket cap $maxBucketSize dropped " +

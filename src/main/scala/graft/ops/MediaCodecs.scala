@@ -32,12 +32,13 @@ object MediaCodecs {
       if (c == '#') { while (at < b.length && b(at) != '\n') at += 1 }
       else if (c.isWhitespace) at += 1
       else {
-        var v = 0
+        var v = 0L // Long accumulator: a crafted 10-digit dim must FAIL, not wrap
         var any = false
         while (at < b.length && b(at).toChar.isDigit) {
           v = v * 10 + (b(at) - '0'); at += 1; any = true
+          if (v > Int.MaxValue) return None
         }
-        return if (any) Some((v, at)) else None
+        return if (any) Some((v.toInt, at)) else None
       }
     }
     None

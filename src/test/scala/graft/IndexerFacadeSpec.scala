@@ -15,7 +15,8 @@ class IndexerFacadeSpec extends SparkTestBase {
   val srcSchema = StructType(Seq(
     StructField("repo", StringType), StructField("path", StringType),
     StructField("commit", StringType), StructField("lang", StringType),
-    StructField("content", StringType)))
+    StructField("content", StringType),
+    StructField("note", StringType))) // pure docvalue: not indexed, not a key
 
   val idxSchema = IndexSchema(
     keyColumns = Seq("repo", "path", "commit"),
@@ -82,24 +83,33 @@ class IndexerFacadeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       w.updateDocValues(Term("content", "beta"), "lang" -> "fr")
     }
-    // 'commit' is a pure docvalue column → fast path
-    w.updateDocValues(Term("content", "beta"), "commit" -> "c999")
+    // key columns define docId identity → must be rejected too
+    intercept[IllegalArgumentException] {
+      w.updateDocValues(Term("content", "beta"), "commit" -> "c999")
+    }
+    // 'note' is a pure docvalue column → fast path
+    w.updateDocValues(Term("content", "beta"), "note" -> "n999")
     assert(postingFiles(dir) === before) // no reindex, byte-identical postings
     assert(spark.read.parquet(s"$dir/segments").count() === segsBefore) // no new segment
-    val vals = w.searcher.index.docs.orderBy("docId").select("commit").collect().map(_.getString(0))
-    assert(vals.toSeq === Seq("c999", "c")) // p0 matched 'beta'
+    val vals = w.searcher.index.docs.orderBy("docId").select("note").collect().map(_.getString(0))
+    assert(vals.toSeq === Seq("n999", null)) // p0 matched 'beta'
     // sort over the updated docvalue sees the new value
     val top = w.searcher.search(Term("content", "alpha"), 1,
-      sorts = Seq(graft.exec.SortSpec("commit", descending = true))).collect()(0)
+      sorts = Seq(graft.exec.SortSpec("note", descending = true))).collect()(0)
     assert(top.getLong(0) === 0L)
     // later generations win
-    w.updateDocValues(Term("content", "beta"), "commit" -> "c42")
+    w.updateDocValues(Term("content", "beta"), "note" -> "n42")
     assert(w.searcher.index.docs.filter(org.apache.spark.sql.functions.col("docId") === 0L)
-      .select("commit").collect()(0).getString(0) === "c42")
+      .select("note").collect()(0).getString(0) === "n42")
+    // a NULL update genuinely clears the value (updateDocValues(field, null))
+    w.updateDocValues(Term("content", "beta"), "note" -> null)
+    assert(w.searcher.index.docs.filter(org.apache.spark.sql.functions.col("docId") === 0L)
+      .select("note").collect()(0).isNullAt(0))
+    w.updateDocValues(Term("content", "beta"), "note" -> "n42")
     // durable across a fresh handle
     val r = new Indexer(spark, dir, idxSchema, srcSchema)
-    assert(r.searcher.index.docs.orderBy("docId").select("commit")
-      .collect().map(_.getString(0)).toSeq === Seq("c42", "c"))
+    assert(r.searcher.index.docs.orderBy("docId").select("note")
+      .collect().map(_.getString(0)).toSeq === Seq("n42", null))
   }
 
   test("compact: segments merge to one, tombstones + dv updates baked in (commit(merge=1))") {
@@ -112,7 +122,7 @@ class IndexerFacadeSpec extends SparkTestBase {
     w.commit()
     w.delete(Term("content", "gamma"))
     w.commit()
-    w.updateDocValues(Term("content", "delta"), "commit" -> "c7")
+    w.updateDocValues(Term("content", "delta"), "note" -> "n7")
     assert(w.version === 2L) // two segments (middle commit had only a delete)
     assert(w.searcher.index.numLiveDocs === 2L)
 
@@ -125,9 +135,9 @@ class IndexerFacadeSpec extends SparkTestBase {
     // docFreq now reflects the merged view (pre-merge it counted deletes)
     assert(w.searcher.docFreq("content", "alpha") === 1L)
     // the docvalue update survives, baked into the doc store; sidecar gone
-    val commits = w.searcher.index.docs.orderBy("docId").select("path", "commit")
+    val notes = w.searcher.index.docs.orderBy("docId").select("path", "note")
       .collect().map(r => r.getString(0) -> r.getString(1))
-    assert(commits.toSeq === Seq("p0" -> "c", "p2" -> "c7"))
+    assert(notes.toSeq === Seq("p0" -> null, "p2" -> "n7"))
     assert(!new java.io.File(s"$dir/dvupdates").exists)
     assert(!new java.io.File(s"$dir/deletes").exists)
   }
@@ -156,6 +166,39 @@ class IndexerFacadeSpec extends SparkTestBase {
     assert(w.count(Term("content", "three")) === 1L)
   }
 
+  test("pin survives compact() via the archive; vacuum() releases it (SnapshotDeletionPolicy)") {
+    val dir = Files.createTempDirectory("graft-pin3").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "one two")
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "en", "content" -> "three four")
+    w.commit()
+    w.delete(Term("content", "three"))
+    w.commit()
+    val pin = w.snapshot()
+
+    w.compact() // moves the pinned commit into archive/gen=000000
+    assert(w.searcher.index.numDocs === 1L)
+
+    // post-compact segment ids restart at 0 — the pin must resolve its OWN
+    // segment 0 from the archive, not the shadowing live one
+    val dst = Files.createTempDirectory("graft-pin3-dst").toString
+    w.copy(pin, dst)
+    val r = new Indexer(spark, dst, idxSchema, srcSchema)
+    assert(r.searcher.index.numDocs === 2L)   // pre-compact docs
+    assert(r.count(Term("content", "three")) === 0L) // with the pinned tombstone
+    assert(r.count(Term("content", "one")) === 1L)
+
+    // vacuum drops the archive; the pin is now genuinely unrecoverable — loud
+    w.vacuum()
+    val dst2 = Files.createTempDirectory("graft-pin3-dst2").toString
+    intercept[java.io.IOException] { w.copy(pin, dst2) }
+    // a pin taken AFTER the compact copies from the live tree
+    val pin2 = w.snapshot()
+    val dst3 = Files.createTempDirectory("graft-pin3-dst3").toString
+    w.copy(pin2, dst3)
+    assert(new Indexer(spark, dst3, idxSchema, srcSchema).searcher.index.numDocs === 1L)
+  }
+
   test("pin carries its tombstones + dv updates; later ones stay out (commit-point semantics)") {
     val dir = Files.createTempDirectory("graft-pin2").toString
     val w = new Indexer(spark, dir, idxSchema, srcSchema)
@@ -164,14 +207,14 @@ class IndexerFacadeSpec extends SparkTestBase {
     w.commit()
     w.delete(Term("content", "three"))
     w.commit()
-    w.updateDocValues(Term("content", "one"), "commit" -> "cPinned")
+    w.updateDocValues(Term("content", "one"), "note" -> "nPinned")
     val pin = w.snapshot()
     assert(pin.deleteFiles.nonEmpty && pin.dvGens.nonEmpty)
 
     // writer advances PAST the pin: another delete + another dv update
     w.delete(Term("content", "one"))
     w.commit()
-    w.updateDocValues(Term("content", "one"), "commit" -> "cAfter")
+    w.updateDocValues(Term("content", "one"), "note" -> "nAfter")
 
     val dst = Files.createTempDirectory("graft-pin2-dst").toString
     w.copy(pin, dst)
@@ -181,7 +224,7 @@ class IndexerFacadeSpec extends SparkTestBase {
     assert(r.count(Term("content", "one")) === 1L)
     // pinned dv update visible; post-pin generation not
     assert(r.searcher.index.docs.filter(org.apache.spark.sql.functions.col("docId") === 0L)
-      .select("commit").collect()(0).getString(0) === "cPinned")
+      .select("note").collect()(0).getString(0) === "nPinned")
     // source sees everything
     assert(w.count(Term("content", "one")) === 0L)
   }
