@@ -659,15 +659,16 @@ class Searcher(val index: Index) extends Serializable {
     // TakeOrdered over one row per group — whole groups survive (a plain row
     // limit on docs would truncate mid-group)
     val top = if (groups > 0) grpStats.orderBy(statKey.asc).limit(groups) else grpStats
-    val pruned =
-      if (groups > 0) scored.join(broadcast(top.select("value")), Seq("value"), "left_semi")
-      else scored
+    // ONE join does both the pruning to surviving groups and the stats
+    // attach (top has one row per value, so the inner join preserves doc
+    // cardinality); NULL-SAFE equality keeps the null-valued group — a plain
+    // equi-join would silently drop it (the old window path kept it).
+    val statsSide = (if (groups > 0) broadcast(top) else top)
+      .withColumnRenamed("value", "__gv")
     val wOrd = Window.partitionBy(col("value")).orderBy(col("score").desc, col("docId").asc)
-    val statsSide = if (groups > 0) broadcast(top) else top
-    pruned
+    scored.join(statsSide, col("value") <=> col("__gv")).drop("__gv")
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= docsPerGroup)
-      .join(statsSide, Seq("value"))
       .orderBy((if (byValue) col("value") else col("groupOrd")).asc, col("rn").asc)
       .select(col("value").as(field.replace('.', '_')), col("groupCount"),
         col("docId"), col("score"), col("rn"))

@@ -106,10 +106,13 @@ final class Indexer(
         x.withColumnRenamed(c, s"__upd_$c"))
       val joined = d.join(broadcast(renamed), Seq("docId"), "left")
       ucols.foldLeft(joined) { (x, c) =>
-        // the flag (false/null for unmatched rows) gates the overwrite, so a
-        // NULL update value genuinely clears the column
-        x.withColumn(c, when(coalesce(col(s"__upd___set_$c"), lit(false)),
-          col(s"__upd_$c")).otherwise(col(c)))
+        if (u.columns.contains(s"__set_$c"))
+          // the flag (false/null for unmatched rows) gates the overwrite, so
+          // a NULL update value genuinely clears the column
+          x.withColumn(c, when(coalesce(col(s"__upd___set_$c"), lit(false)),
+            col(s"__upd_$c")).otherwise(col(c)))
+        else // legacy generation without set flags: non-null-overwrite merge
+          x.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
       }.drop(u.columns.filterNot(_ == "docId").map(c => s"__upd_$c"): _*)
     }
   }
@@ -209,10 +212,19 @@ final class Indexer(
     refresh()
   }
 
-  /** Drop all archived (pre-compaction) commits — releases every pin taken
-    * before the last compact (Lucene's snapshot release + deletion policy).
+  /** Drop the CONTENT of all archived (pre-compaction) commits — releases
+    * every pin taken before the last compact (Lucene snapshot release +
+    * deletion policy). The empty generation directories remain as markers so
+    * generation numbering stays monotone: a stale pin must fail loudly, not
+    * resolve against an unrelated commit that re-used its generation number.
     */
-  def vacuum(): Unit = fs.delete(new Path(s"$dir/archive"), true)
+  def vacuum(): Unit = {
+    val arch = new Path(s"$dir/archive")
+    if (fs.exists(arch)) fs.listStatus(arch).foreach { g =>
+      fs.delete(g.getPath, true)
+      fs.mkdirs(g.getPath)
+    }
+  }
 
   /** Pin the current commit (reference IndexWriter.snapshot,
     * indexers.py:594-601): segments are immutable directories, so a pin is
@@ -246,16 +258,23 @@ final class Indexer(
     */
   def copy(pin: IndexPin, dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    // a pinned file lives at archive/gen=<pin.epoch> once a compact has run
-    // (exactly one compact archives the commit the pin saw; ids restart per
-    // compaction, so the live tree must NOT shadow an archived pin), else in
-    // the live tree — compact() never deletes, only vacuum() does
+    // A pinned file lives in the live tree ONLY while no compact has run
+    // since the pin (pin.epoch == current archive-gen count); after a
+    // compact it lives at archive/gen=<pin.epoch> exactly. Segment ids
+    // restart per compaction, so falling back from a missing archive to the
+    // live tree would silently copy a DIFFERENT commit's segment=0 — a
+    // vacuumed pin must throw instead.
+    val currentGens = {
+      val p = new Path(s"$dir/archive")
+      if (!fs.exists(p)) 0 else fs.listStatus(p).length
+    }
     def resolve(rel: String): Path = {
-      val archived = new Path(f"$dir/archive/gen=${pin.epoch}%06d/$rel")
-      if (fs.exists(archived)) return archived
-      val live = new Path(s"$dir/$rel")
-      if (fs.exists(live)) return live
-      throw new java.io.IOException(s"pinned file missing (vacuumed?): $dir/$rel")
+      val p =
+        if (pin.epoch == currentGens) new Path(s"$dir/$rel") // pin IS the live commit
+        else new Path(f"$dir/archive/gen=${pin.epoch}%06d/$rel")
+      if (!fs.exists(p))
+        throw new java.io.IOException(s"pinned file missing (vacuumed?): $p")
+      p
     }
     def copyPath(rel: String): Unit =
       org.apache.hadoop.fs.FileUtil.copy(fs, resolve(rel),

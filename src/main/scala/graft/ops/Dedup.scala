@@ -87,18 +87,23 @@ object Dedup {
     val pruned =
       if (maxBucketSize <= 0) banded
       else {
-        // hot is tiny (oversized buckets only): persist so the loud logging
-        // collect doubles as materialization and the anti-join reuses it
-        // instead of re-aggregating the exploded band rows
+        // ONE aggregation pass; the hot-bucket list is tiny by construction
+        // (buckets over the cap), so it collects to the driver for the loud
+        // log and drives the anti-join as a broadcast local relation — no
+        // cached DataFrame to leak across calls
+        val spark = df.sparkSession
+        import spark.implicits._
         val hot = banded.groupBy("band", "key")
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val d = hot.agg(count(lit(1)), coalesce(sum("__bsz"), lit(0L))).collect()(0)
-        if (d.getLong(0) > 0)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        if (hot.isEmpty) banded
+        else {
           System.err.println(s"[graft.Dedup] LSH hot-bucket cap $maxBucketSize dropped " +
-            s"${d.getLong(0)} buckets holding ${d.getLong(1)} rows — their pairs only " +
+            s"${hot.length} buckets holding ${hot.map(_._3).sum} rows — their pairs only " +
             "surface via other bands")
-        banded.join(hot.select("band", "key"), Seq("band", "key"), "left_anti")
+          val hotDf = hot.map(h => (h._1, h._2)).toSeq.toDF("band", "key")
+          banded.join(broadcast(hotDf), Seq("band", "key"), "left_anti")
+        }
       }
     val a = pruned.as("a")
     val b = pruned.as("b")

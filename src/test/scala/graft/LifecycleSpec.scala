@@ -105,6 +105,21 @@ class LifecycleSpec extends SparkTestBase {
     assert(s.count(TermSet("content", Seq(""))) === 0)
   }
 
+  test("groupBy keeps the NULL-valued group (null-safe stats join)") {
+    val idx = IndexBuilder.build(corpus(
+      ("r", "q0", "c", null, "hello nulls"),
+      ("r", "q1", "c", "en", "hello there"),
+      ("r", "q2", "c", null, "hello again")), schema, 2)
+    val s = new Searcher(idx)
+    val all = s.groupBy("lang", Term("content", "hello"), groups = 0, docsPerGroup = 5).collect()
+    val byLang = all.groupBy(r => Option(r.getString(0)))
+    assert(byLang.keySet === Set(None, Some("en")))
+    assert(byLang(None).length === 2 && byLang(None).head.getLong(1) === 2L) // count incl. nulls
+    // and with a group limit covering both
+    val top = s.groupBy("lang", Term("content", "hello"), groups = 2, docsPerGroup = 5).collect()
+    assert(top.map(r => Option(r.getString(0))).toSet === Set(None, Some("en")))
+  }
+
   test("groupBy returns whole groups when a top group is smaller than docsPerGroup") {
     // base: en docs {0,1} (hello...), de doc {2}; query 'world' matches 0 (en), 2 (de)
     val s = new Searcher(base)
