@@ -60,7 +60,8 @@ object CheckpointedBuild {
           .agg(
             sum(when(col("term") =!= "", col("numDocs")).otherwise(0L)),
             sum(length(col("docsBlob")) + length(col("freqsBlob")) +
-              length(col("normsBlob")) + length(col("positionsBlob"))).cast("long"))
+              length(col("normsBlob")) + length(col("positionsBlob")) +
+              length(col("payloadsBlob")) + length(col("offsetsBlob"))).cast("long"))
           .collect()(0)
         val meta = SegmentMeta(k, lo, hi - lo,
           if (m.isNullAt(0)) 0L else m.getLong(0),

@@ -63,7 +63,8 @@ object StreamingIndexer {
     val m = spark.read.parquet(s"$dir/postings/segment=$segId")
       .agg(sum(when(col("term") =!= "", col("numDocs")).otherwise(0L)),
         sum(length(col("docsBlob")) + length(col("freqsBlob")) +
-          length(col("normsBlob")) + length(col("positionsBlob"))).cast("long"))
+          length(col("normsBlob")) + length(col("positionsBlob")) +
+          length(col("payloadsBlob")) + length(col("offsetsBlob"))).cast("long"))
       .collect()(0)
     val meta = CheckpointedBuild.SegmentMeta(segId.toInt, offset, n,
       if (m.isNullAt(0)) 0L else m.getLong(0),
