@@ -23,6 +23,19 @@ object CheckpointedBuild {
   final case class SegmentMeta(segmentId: Int, firstDocId: Long, docsIndexed: Long,
       postingsWritten: Long, bytesCompressed: Long, buildSec: Double, status: String)
 
+  /** (postingsWritten, bytesCompressed) of one committed segment's blocks —
+    * the single definition both the checkpointed and streaming writers use.
+    */
+  def segmentMetrics(blocks: DataFrame): (Long, Long) = {
+    val m = blocks.agg(
+      sum(when(col("term") =!= "", col("numDocs")).otherwise(0L)),
+      sum(length(col("docsBlob")) + length(col("freqsBlob")) +
+        length(col("normsBlob")) + length(col("positionsBlob")) +
+        length(col("payloadsBlob")) + length(col("offsetsBlob"))).cast("long"))
+      .collect()(0)
+    (if (m.isNullAt(0)) 0L else m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+  }
+
   def build(source: DataFrame, schema: IndexSchema, dir: String,
       segments: Int = 8, numPartitions: Int = 0): Index = {
     val spark = source.sparkSession
@@ -56,16 +69,8 @@ object CheckpointedBuild {
         blocks.write.mode("overwrite").parquet(segDir)
         val sec = (System.nanoTime() - t0) / 1e9
         // metrics from the committed (compressed) blocks — cheap re-read
-        val m = spark.read.parquet(segDir)
-          .agg(
-            sum(when(col("term") =!= "", col("numDocs")).otherwise(0L)),
-            sum(length(col("docsBlob")) + length(col("freqsBlob")) +
-              length(col("normsBlob")) + length(col("positionsBlob")) +
-              length(col("payloadsBlob")) + length(col("offsetsBlob"))).cast("long"))
-          .collect()(0)
-        val meta = SegmentMeta(k, lo, hi - lo,
-          if (m.isNullAt(0)) 0L else m.getLong(0),
-          if (m.isNullAt(1)) 0L else m.getLong(1), sec, "committed")
+        val (nPostings, nBytes) = segmentMetrics(spark.read.parquet(segDir))
+        val meta = SegmentMeta(k, lo, hi - lo, nPostings, nBytes, sec, "committed")
         spark.createDataset(Seq(meta)).write.mode("append").parquet(s"$dir/segments")
       }
     }

@@ -220,9 +220,12 @@ final class Indexer(
     */
   def vacuum(): Unit = {
     val arch = new Path(s"$dir/archive")
+    // delete only the CONTENTS of each generation dir — the marker dir never
+    // disappears, so a crash mid-vacuum cannot shrink the generation count
+    // (copy() resolves pins by epoch == count; a lost marker would let a
+    // later compact re-use the number and a stale pin resolve wrongly)
     if (fs.exists(arch)) fs.listStatus(arch).foreach { g =>
-      fs.delete(g.getPath, true)
-      fs.mkdirs(g.getPath)
+      fs.listStatus(g.getPath).foreach(c => fs.delete(c.getPath, true))
     }
   }
 

@@ -87,23 +87,19 @@ object Dedup {
     val pruned =
       if (maxBucketSize <= 0) banded
       else {
-        // ONE aggregation pass; the hot-bucket list is tiny by construction
-        // (buckets over the cap), so it collects to the driver for the loud
-        // log and drives the anti-join as a broadcast local relation — no
-        // cached DataFrame to leak across calls
-        val spark = df.sparkSession
-        import spark.implicits._
+        // The anti-join stays DISTRIBUTED (a boilerplate-heavy corpus can
+        // have millions of hot buckets — never collect them to the driver);
+        // the loud-drop log costs one bounded 1-row aggregate, and the two
+        // (band,key) shuffles over `banded` share their exchange.
         val hot = banded.groupBy("band", "key")
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
-          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-        if (hot.isEmpty) banded
-        else {
+        val d = hot.agg(count(lit(1)), coalesce(sum("__bsz"), lit(0L))).collect()(0)
+        if (d.getLong(0) > 0)
           System.err.println(s"[graft.Dedup] LSH hot-bucket cap $maxBucketSize dropped " +
-            s"${hot.length} buckets holding ${hot.map(_._3).sum} rows — their pairs only " +
+            s"${d.getLong(0)} buckets holding ${d.getLong(1)} rows — their pairs only " +
             "surface via other bands")
-          val hotDf = hot.map(h => (h._1, h._2)).toSeq.toDF("band", "key")
-          banded.join(broadcast(hotDf), Seq("band", "key"), "left_anti")
-        }
+        if (d.getLong(0) == 0) banded
+        else banded.join(hot.select("band", "key"), Seq("band", "key"), "left_anti")
       }
     val a = pruned.as("a")
     val b = pruned.as("b")

@@ -60,16 +60,10 @@ object StreamingIndexer {
     IndexBuilder.blocksOf(IndexBuilder.tokensOf(docsBack, schema), parts)
       .write.mode("overwrite").parquet(s"$dir/postings/segment=$segId")
     val n = docsBack.count()
-    val m = spark.read.parquet(s"$dir/postings/segment=$segId")
-      .agg(sum(when(col("term") =!= "", col("numDocs")).otherwise(0L)),
-        sum(length(col("docsBlob")) + length(col("freqsBlob")) +
-          length(col("normsBlob")) + length(col("positionsBlob")) +
-          length(col("payloadsBlob")) + length(col("offsetsBlob"))).cast("long"))
-      .collect()(0)
+    val (nPostings, nBytes) =
+      CheckpointedBuild.segmentMetrics(spark.read.parquet(s"$dir/postings/segment=$segId"))
     val meta = CheckpointedBuild.SegmentMeta(segId.toInt, offset, n,
-      if (m.isNullAt(0)) 0L else m.getLong(0),
-      if (m.isNullAt(1)) 0L else m.getLong(1),
-      (System.nanoTime() - t0) / 1e9, "committed")
+      nPostings, nBytes, (System.nanoTime() - t0) / 1e9, "committed")
     spark.createDataset(Seq(meta)).write.mode("append").parquet(s"$dir/segments")
   }
 

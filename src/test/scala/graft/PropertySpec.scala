@@ -21,10 +21,11 @@ class PropertySpec extends SparkTestBase {
     "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
     "iota", "kappa", "the", "of", "and", "scan", "merge", "join")
 
-  // ~90 docs, 1..14 tokens each, a few empty and a few single-token
+  // ~90 docs, 0..14 tokens each — zero-token docs exercise the sentinel/
+  // docCount exclusion (they stay in the doc store but not in the field)
   val corpusTokens: Vector[(Long, Vector[String])] = {
     val docs = (0 until 90).map { i =>
-      val n = rnd.nextInt(14) + 1
+      val n = rnd.nextInt(15)
       i.toLong -> Vector.fill(n)(vocab(rnd.nextInt(vocab.length)))
     }
     docs.toVector
@@ -192,7 +193,7 @@ class PropertySpec extends SparkTestBase {
   }
 
   def gen(depth: Int): graft.query.Query = {
-    val choice = if (depth <= 0) rnd.nextInt(3) else rnd.nextInt(12)
+    val choice = if (depth <= 0) rnd.nextInt(3) else rnd.nextInt(14)
     choice match {
       case 0 => Term("content", word())
       case 1 => TermSet("content", Seq.fill(rnd.nextInt(3) + 1)(word()))
@@ -217,6 +218,14 @@ class PropertySpec extends SparkTestBase {
       case 10 => Fuzzy("content", word(), rnd.nextInt(2) + 1,
         rnd.nextInt(2), rnd.nextBoolean())
       case 11 => SpanWrap(genSpan(rnd.nextInt(2) + 1))
+      case 12 =>
+        val w = word()
+        val i = rnd.nextInt(w.length)
+        Wildcard("content", w.updated(i, if (rnd.nextBoolean()) '?' else '*'))
+      case 13 =>
+        val (a, b) = (word(), word())
+        TermRange("content", Some(if (a < b) a else b), Some(if (a < b) b else a),
+          rnd.nextBoolean(), rnd.nextBoolean())
     }
   }
 
@@ -229,10 +238,11 @@ class PropertySpec extends SparkTestBase {
     var nonEmpty = 0
     (1 to 150).foreach { i =>
       val q = gen(3)
-      val expected = normalize(LocalRef.eval(q).filter(_._2 != 0.0) ++
-        LocalRef.eval(q).filter(_._2 == 0.0)) // keep zero-score (filter-only) rows too
-      val got = normalize(searcher.search(q, 0).collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      val expected = normalize(LocalRef.eval(q))
+      val rows = searcher.search(q, 0).collect().map(r => r.getLong(0) -> r.getDouble(1))
+      // join-fanout guard: the engine must emit each docId exactly once
+      assert(rows.length === rows.map(_._1).distinct.length, s"duplicate docIds in query #$i: $q")
+      val got = normalize(rows.toMap)
       assert(got === expected, s"query #$i: $q")
       checked += 1
       if (expected.nonEmpty) nonEmpty += 1
