@@ -99,6 +99,23 @@ object Bench {
     val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (1 to 3).map(_ => runOnce(name, fn)).min
     }
+    // WAND block-decode instrument: decoded vs candidate block counts for a
+    // rare+hot disjunction. Pruning requires hot-term block RANGES free of
+    // rare-term docs — at sf0.1's density (a rare doc every ~190 docIds, hot
+    // blocks spanning ~760) every block competes, so decoded == candidates
+    // here; the pruning mechanism itself is proven in WandSpec (decoded <
+    // total on a sparse-rare corpus) and engages as density drops with scale.
+    val (wandDecoded, wandCandidates) = {
+      import org.apache.spark.sql.functions.col
+      import graft.query.{Query => Q, Term}
+      val s = SparkEntry.searcher(spark, sfDir)
+      val terms = Seq("dup", "the", "data")
+      s.wandDecoded.reset()
+      s.search(Q.any(terms.map(Term("content", _)): _*), 10).collect()
+      (s.wandDecoded.value.toLong,
+        s.index.blocks.filter(col("field") === "content" && col("term").isin(terms: _*)).count())
+    }
+
     // md5 (oracle-checkable) vs xxh64 (production) minhash signature pass
     val (minhashMd5Sec, minhashXxSec) = {
       import org.apache.spark.sql.functions.col
@@ -143,6 +160,7 @@ object Bench {
       json.append(s""","search_p50_sec":${num(pct(searchVals, 0.5))},"search_p99_sec":${num(pct(searchVals, 0.99))}""")
     json.append(s""","index_build_sec":${num(buildSec)}""")
     json.append(s""","minhash_md5_sec":${num(minhashMd5Sec)},"minhash_xxh_sec":${num(minhashXxSec)}""")
+    json.append(s""","wand_decoded_blocks":$wandDecoded,"wand_candidate_blocks":$wandCandidates""")
     if (doScaling) {
       json.append(s""","build_docs":$benchDocs""")
       json.append(s""","build_docs_per_sec_local$scaleN":${num(rate8, 1)}""")

@@ -518,6 +518,13 @@ class Searcher(val index: Index) extends Serializable {
     */
   var wandEnabled = true
 
+  /** Blocks DECODED by WAND executions (pruning evidence: compare against
+    * the query terms' total block count). Accumulates across queries;
+    * `reset()` before a measurement.
+    */
+  lazy val wandDecoded: org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.wandDecodedBlocks")
+
   /** Match a query shape WAND can serve: SHOULD-only boolean over Terms of
     * one field (with optional boosts), or a boosted such query.
     */
@@ -556,6 +563,7 @@ class Searcher(val index: Index) extends Serializable {
     val avgdl = st.avgdl
     val kk = k
     val wts = weights
+    val acc = wandDecoded // local val: the closure must not capture `this`
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     index.blocks
       .filter(col("field") === field && col("term").isin(weights.map(_._1).distinct: _*))
@@ -570,7 +578,9 @@ class Searcher(val index: Index) extends Serializable {
       .mapPartitions { it =>
         val byTerm = it.toArray.groupBy(_.term)
         val termBlocks = wts.map { case (t, w) => (w, byTerm.getOrElse(t, Array.empty)) }
-        Wand.topkPartition(termBlocks, avgdl, kk)._1.iterator
+        val (top, decoded) = Wand.topkPartition(termBlocks, avgdl, kk)
+        acc.add(decoded.toLong)
+        top.iterator
       }
       .toDF("docId", "score")
       .orderBy(col("score").desc, col("docId").asc)
