@@ -201,6 +201,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
         .filter(col("jacc_q") >= 5000)
     }),
+    "q_dedup_minhash_capped" -> ((sp, dir) => {
+      // same pipeline as q_dedup_minhash but with the hot-bucket guard
+      // engaged (maxBucketSize 10): buckets over the cap drop from candidate
+      // generation — the oracle mirrors the anti-join exactly
+      val docs = sp.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val sh = planted.select(col("doc_id"),
+        graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
+        .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
+      val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4,
+        maxBucketSize = 2)
+      graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
+        .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
+        .filter(col("jacc_q") >= 5000)
+    }),
     "q_ann_topk" -> ((sp, dir) => {
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
@@ -456,6 +473,42 @@ object SparkEntry {
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), jac AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.dsh, sb.dsh))) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sa ON sa.doc_id = id_a
+         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sb ON sb.doc_id = id_b
+         |)
+         |SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jacc_q
+         |FROM jac WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
+    "q_dedup_minhash_capped" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+         |), ptoks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$tokRegexSql') AS toks FROM planted
+         |), psh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END AS sh
+         |  FROM ptoks
+         |), sig AS (
+         |  SELECT doc_id, sh, list_concat(
+         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('0:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min')),
+         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('1:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min'))) AS sg
+         |  FROM psh WHERE len(sh) > 0
+         |), banded AS (
+         |  SELECT doc_id, band, array_to_string(sg[band*2+1:band*2+2], '|') AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+         |), hot AS (
+         |  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) > 2
+         |), pruned AS (
+         |  SELECT b.* FROM banded b ANTI JOIN hot h ON b.band = h.band AND b.key = h.key
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |), jac AS (
          |  SELECT id_a, id_b,
          |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE) /
