@@ -105,16 +105,28 @@ object Bench {
     // blocks spanning ~760) every block competes, so decoded == candidates
     // here; the pruning mechanism itself is proven in WandSpec (decoded <
     // total on a sparse-rare corpus) and engages as density drops with scale.
-    val (wandDecoded, wandCandidates) = {
-      import org.apache.spark.sql.functions.col
-      import graft.query.{Query => Q, Term}
-      val s = SparkEntry.searcher(spark, sfDir)
-      val terms = Seq("dup", "the", "data")
-      s.wandDecoded.reset()
-      s.search(Q.any(terms.map(Term("content", _)): _*), 10).collect()
-      (s.wandDecoded.value.toLong,
-        s.index.blocks.filter(col("field") === "content" && col("term").isin(terms: _*)).count())
-    }
+    // Instrument-grade, not gate-grade: accumulator updates inside a
+    // transformation can double-count under task retries/speculation (off in
+    // local mode), and a failure here must not lose the JSON line.
+    val (wandDecoded, wandCandidates) =
+      try {
+        import org.apache.spark.sql.functions.col
+        import graft.query.{Query => Q, Term}
+        val s = SparkEntry.searcher(spark, sfDir)
+        // only terms that exist drive searchWand's weights — count candidate
+        // blocks over the SAME term set so the comparison is structurally exact
+        val terms = Seq("dup", "the", "data").filter(t => s.docFreq("content", t) > 0)
+        s.wandDecoded.reset()
+        s.search(Q.any(terms.map(Term("content", _)): _*), 10).collect()
+        (s.wandDecoded.value.toLong,
+          s.index.blocks.filter(col("field") === "content" && col("term").isin(terms: _*)).count())
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains("wand_instrument"))
+            errors("wand_instrument") = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("\\s+", " ").take(200)
+          (-1L, -1L)
+      }
 
     // md5 (oracle-checkable) vs xxh64 (production) minhash signature pass
     val (minhashMd5Sec, minhashXxSec) = {

@@ -83,6 +83,29 @@ object SparkEntry {
   /** Quantize a double score for engine↔oracle comparison. */
   private def qz(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
 
+  /** Hot-bucket cap exercised by q_dedup_minhash_capped (both sides). */
+  val MinhashCap = 2
+
+  /** The minhash near-dup pipeline shared by the capped/uncapped contract
+    * queries: plant duplicates → shingles → md5 minhash → LSH candidates
+    * (optionally hot-bucket-capped) → Jaccard verify ≥ 0.5.
+    * No cache: the signatures are cheap to recompute, and a per-invocation
+    * cache would leak across benchmark repetitions.
+    */
+  private def minhashPipeline(sp: SparkSession, dir: String, maxBucketSize: Int): DataFrame = {
+    val docs = sp.read.parquet(s"$dir/documents.parquet")
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val sh = planted.select(col("doc_id"),
+      graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
+    val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4, maxBucketSize)
+    graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
+      .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
+      .filter(col("jacc_q") >= 5000)
+  }
+
   // ------------------------------------------------------------ entry point
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -184,40 +207,13 @@ object SparkEntry {
         .select(col("docId").as("docid"),
           graft.ops.Dedup.simhash(graft.ops.TextOps.tokens(col("content")), 16).as("simhash"))
     }),
-    "q_dedup_minhash" -> ((sp, dir) => {
-      // plant duplicates (doc_id < 20 re-appended shifted by 10000) so the
-      // LSH pipeline has non-trivial positives; mirrored in the oracle
-      val docs = sp.read.parquet(s"$dir/documents.parquet")
-      val planted = docs.select(col("doc_id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      // no cache: the UDF minhash is cheap to recompute, and a per-invocation
-      // cache would leak across benchmark repetitions
-      val sh = planted.select(col("doc_id"),
-        graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
-        .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
-      val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4)
-      graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
-        .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
-        .filter(col("jacc_q") >= 5000)
-    }),
-    "q_dedup_minhash_capped" -> ((sp, dir) => {
-      // same pipeline as q_dedup_minhash but with the hot-bucket guard
-      // engaged (maxBucketSize 10): buckets over the cap drop from candidate
-      // generation — the oracle mirrors the anti-join exactly
-      val docs = sp.read.parquet(s"$dir/documents.parquet")
-      val planted = docs.select(col("doc_id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val sh = planted.select(col("doc_id"),
-        graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
-        .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
-      val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4,
-        maxBucketSize = 2)
-      graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
-        .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))
-        .filter(col("jacc_q") >= 5000)
-    }),
+    // plant duplicates (doc_id < 20 re-appended shifted by 10000) so the
+    // LSH pipeline has non-trivial positives; mirrored in the oracle.
+    // q_dedup_minhash_capped additionally engages the hot-bucket guard with
+    // MinhashCap (= 2, which sf0.01's largest buckets exceed); ONE pipeline
+    // definition serves both so Spark and oracle can never drift apart.
+    "q_dedup_minhash" -> ((sp, dir) => minhashPipeline(sp, dir, maxBucketSize = 0)),
+    "q_dedup_minhash_capped" -> ((sp, dir) => minhashPipeline(sp, dir, maxBucketSize = MinhashCap)),
     "q_ann_topk" -> ((sp, dir) => {
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
@@ -451,74 +447,8 @@ object SparkEntry {
          |SELECT c.docid, COALESCE($bits, 0) AS simhash
          |FROM corpus c LEFT JOIN votes USING (docid)""".stripMargin
     },
-    "q_dedup_minhash" ->
-      s"""WITH planted AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
-         |), ptoks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '$tokRegexSql') AS toks FROM planted
-         |), psh AS (
-         |  SELECT doc_id, CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-         |    ELSE [] END AS sh
-         |  FROM ptoks
-         |), sig AS (
-         |  SELECT doc_id, sh, list_concat(
-         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('0:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min')),
-         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('1:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min'))) AS sg
-         |  FROM psh WHERE len(sh) > 0
-         |), banded AS (
-         |  SELECT doc_id, band, array_to_string(sg[band*2+1:band*2+2], '|') AS key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), jac AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(sa.dsh, sb.dsh))) AS DOUBLE) AS jaccard
-         |  FROM cand
-         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sa ON sa.doc_id = id_a
-         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sb ON sb.doc_id = id_b
-         |)
-         |SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jacc_q
-         |FROM jac WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
-    "q_dedup_minhash_capped" ->
-      s"""WITH planted AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
-         |), ptoks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '$tokRegexSql') AS toks FROM planted
-         |), psh AS (
-         |  SELECT doc_id, CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-         |    ELSE [] END AS sh
-         |  FROM ptoks
-         |), sig AS (
-         |  SELECT doc_id, sh, list_concat(
-         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('0:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min')),
-         |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('1:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min'))) AS sg
-         |  FROM psh WHERE len(sh) > 0
-         |), banded AS (
-         |  SELECT doc_id, band, array_to_string(sg[band*2+1:band*2+2], '|') AS key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
-         |), hot AS (
-         |  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) > 2
-         |), pruned AS (
-         |  SELECT b.* FROM banded b ANTI JOIN hot h ON b.band = h.band AND b.key = h.key
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), jac AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(sa.dsh, sb.dsh))) AS DOUBLE) AS jaccard
-         |  FROM cand
-         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sa ON sa.doc_id = id_a
-         |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sb ON sb.doc_id = id_b
-         |)
-         |SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jacc_q
-         |FROM jac WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin,
+    "q_dedup_minhash" -> minhashOracleSql(cap = 0),
+    "q_dedup_minhash_capped" -> minhashOracleSql(cap = MinhashCap),
     "q_groupby_repo" ->
       s"""$prelude${scoredCte(Seq("data"))}, wf AS (
          |  SELECT s.docid, s.score, c.repo FROM scored s JOIN corpus c USING (docid)
@@ -633,4 +563,47 @@ object SparkEntry {
 
   /** Token regex for the oracle (single-quote doubled for SQL literals). */
   private val tokRegexSql = "[a-z0-9_]+(?:[''.][a-z0-9_]+)*"
+
+  /** DuckDB mirror of [[minhashPipeline]] — ONE template for the capped and
+    * uncapped contract queries (`cap = 0` ⇒ no hot-bucket anti-join).
+    */
+  private def minhashOracleSql(cap: Int): String = {
+    val candSrc =
+      if (cap <= 0) "banded"
+      else
+        s"""(SELECT b.* FROM banded b ANTI JOIN
+           |   (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) > $cap) h
+           |   ON b.band = h.band AND b.key = h.key)""".stripMargin
+    s"""WITH planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+       |), ptoks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$tokRegexSql') AS toks FROM planted
+       |), psh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE [] END AS sh
+       |  FROM ptoks
+       |), sig AS (
+       |  SELECT doc_id, sh, list_concat(
+       |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('0:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min')),
+       |    list_transform(range(0, 4), j -> list_aggregate(list_transform(sh, s -> substring(md5(concat('1:', s)), CAST(j*8+1 AS INTEGER), 8)), 'min'))) AS sg
+       |  FROM psh WHERE len(sh) > 0
+       |), banded AS (
+       |  SELECT doc_id, band, array_to_string(sg[band*2+1:band*2+2], '|') AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM $candSrc a JOIN $candSrc b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), jac AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.dsh, sb.dsh))) AS DOUBLE) AS jaccard
+       |  FROM cand
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sa ON sa.doc_id = id_a
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM psh) sb ON sb.doc_id = id_b
+       |)
+       |SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jacc_q
+       |FROM jac WHERE CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) >= 5000""".stripMargin
+  }
 }
