@@ -89,17 +89,29 @@ object SparkEntry {
   /** The minhash near-dup pipeline shared by the capped/uncapped contract
     * queries: plant duplicates → shingles → md5 minhash → LSH candidates
     * (optionally hot-bucket-capped) → Jaccard verify ≥ 0.5.
-    * No cache: the signatures are cheap to recompute, and a per-invocation
-    * cache would leak across benchmark repetitions.
+    *
+    * The shingle+signature stage (the expensive minhash UDF pass) is
+    * materialized to parquet ONCE per pipeline run and every downstream
+    * stage — the hot-bucket aggregate, both self-join sides, and the Jaccard
+    * verify — reads that one table. Round 2 recomputed the signatures per
+    * action/join side (~5 corpus passes); at 100 TB that multiplier is the
+    * difference between one pass and five, and it was the warm all-ops p99.
+    * The write happens inside the query invocation (no cross-invocation
+    * memoization), so every benchmark rep still pays exactly one honest
+    * signature pass.
     */
   private def minhashPipeline(sp: SparkSession, dir: String, maxBucketSize: Int): DataFrame = {
     val docs = sp.read.parquet(s"$dir/documents.parquet")
     val planted = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val sh = planted.select(col("doc_id"),
+    val sig = planted.select(col("doc_id"),
       graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
       .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
+    val sigDir = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-" +
+      s"${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+    sig.write.mode("overwrite").parquet(sigDir)
+    val sh = sp.read.parquet(sigDir)
     val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4, maxBucketSize)
     graft.ops.Dedup.jaccard(cand, sh, "doc_id", "sh")
       .select(col("id_a"), col("id_b"), qz(col("jaccard")).as("jacc_q"))

@@ -255,7 +255,7 @@ class Searcher(val index: Index) extends Serializable {
     * the conjunctive twin of the phrase path.
     */
   private def evalTermConjunction(field: String, mustTerms: Seq[String],
-      filterTerms: Seq[String]): DataFrame = {
+      filterTerms: Seq[String], notQueries: Seq[Query] = Nil): DataFrame = {
     val st = index.fieldStats.getOrElse(field, return emptyMatches)
     val mustCounts = mustTerms.groupBy(identity).view.mapValues(_.size).toMap
     val distinct = (mustTerms ++ filterTerms).distinct
@@ -268,25 +268,100 @@ class Searcher(val index: Index) extends Serializable {
     }.toMap
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val bucket = shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift)
-    val rareBuckets = index.blocks
-      .filter(col("field") === field && col("term") === order.head)
-      .select(bucket.as("__bkt")).distinct()
+    val prune = rareCoveragePruner(field, order.head)
     val ord = order.toArray
     val w = weights
     val avgdl = st.avgdl
-    index.blocks
+    val base = prune(index.blocks
       .filter(col("field") === field && col("term").isin(order: _*))
       // positions blob projected away before the shuffle (score-only decode)
       .select(col("term"), col("firstDocId"), col("lastDocId"), col("numDocs"),
         col("maxTf"), col("sumTf"), col("minDlq"),
-        col("docsBlob"), col("freqsBlob"), col("normsBlob"))
-      .join(rareBuckets, bucket === col("__bkt"), "left_semi")
+        col("docsBlob"), col("freqsBlob"), col("normsBlob")))
       .as[(String, Long, Long, Int, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
       .map(t => PostingBlock(field, t._1, t._2, t._3, t._4, t._5, t._6, t._7,
         t._8, t._9, t._10, Array.empty[Byte]))
       .repartition(parts, bucket)
       .mapPartitions(it => Conjunction.scorePartition(ord, w, avgdl, it))
       .toDF("docId", "score")
+    // MUST_NOT anti-joins run docIds-only (no freq/norm decode) and — for
+    // same-field terms — against blocks pruned to the rare coverage: docs
+    // outside it cannot appear in `base`, so `rare AND NOT the` never decodes
+    // the bulk of `the`'s postings.
+    notQueries.foldLeft(base) { (d, nq) =>
+      val notIds = nq match {
+        case Term(f, t) if f == field => docIdsOf(f, t, prune)
+        case Term(f, t)               => docIdsOf(f, t, identity)
+        case other                    => evalInner(other).select("docId")
+      }
+      d.join(notIds, Seq("docId"), "left_anti")
+    }
+  }
+
+  /** docId-only postings decode (docsBlob alone — no freqs/norms read). */
+  private def docIdsOf(field: String, term: String,
+      prune: DataFrame => DataFrame): DataFrame =
+    prune(index.blocks.filter(col("field") === field && col("term") === term)
+        .select(col("firstDocId"), col("lastDocId"), col("numDocs"), col("docsBlob")))
+      .select(col("firstDocId"), col("numDocs"), col("docsBlob"))
+      .as[(Long, Int, Array[Byte])]
+      .flatMap { case (f, n, d) => PostingCodec.decodeDocIds(f, n, d) }
+      .toDF("docId")
+
+  /** Block pruner from the rarest term's docId coverage, shared by the
+    * conjunctive and positional paths. The rare term's (firstDocId,
+    * lastDocId) block ranges are collected when few (bounded driver fetch),
+    * merged, and pushed down as LITERAL range predicates — wider terms'
+    * blocks outside every rare range prune at the parquet scan via min/max
+    * stats, with no extra job and no shuffle. Collecting is sound at scale:
+    * a term with df 10⁶ spans ≤ df/128 blocks; genuinely hot-everywhere
+    * "rare" terms overflow the cap and degrade to the distributed
+    * bucket semi-join (the round-2 plan). Range pruning is strictly finer
+    * than bucket pruning: blocks never span a salt bucket, and only
+    * touching/overlapping ranges merge, so the merged set covers exactly the
+    * rare term's blocks' union.
+    */
+  /** Driver-collect cap for rare-term block ranges (the literal-pushdown
+    * pruning path); above it [[rareCoveragePruner]] degrades to the
+    * distributed bucket semi-join. Test-visible so specs can force the
+    * fallback plan.
+    */
+  private[graft] var maxRareDriverBlocks = 4096
+
+  private def rareCoveragePruner(field: String, rareTerm: String): DataFrame => DataFrame = {
+    val maxDriverBlocks = maxRareDriverBlocks
+    val few = index.blocks
+      .filter(col("field") === field && col("term") === rareTerm)
+      .select(col("firstDocId"), col("lastDocId"))
+      .as[(Long, Long)].take(maxDriverBlocks + 1)
+    if (few.length <= maxDriverBlocks) {
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      few.sortBy(_._1).foreach { case (f, l) =>
+        if (merged.nonEmpty && f <= merged.last._2 + 1)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, l))
+        else merged += ((f, l))
+      }
+      if (merged.isEmpty) (wide: DataFrame) => wide.limit(0)
+      else if (merged.length <= 256) {
+        val cond = merged.map { case (f, l) =>
+          col("lastDocId") >= f && col("firstDocId") <= l
+        }.reduce(_ || _)
+        (wide: DataFrame) => wide.filter(cond)
+      } else {
+        // too many ranges for an OR chain: literal bucket InSet instead
+        val bkts = merged.flatMap { case (f, l) =>
+          (f >> graft.index.IndexBuilder.SaltShift) to (l >> graft.index.IndexBuilder.SaltShift)
+        }.distinct
+        val bucket = shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift)
+        (wide: DataFrame) => wide.filter(bucket.isin(bkts.toSeq: _*))
+      }
+    } else {
+      val bucket = shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift)
+      val rareBuckets = index.blocks
+        .filter(col("field") === field && col("term") === rareTerm)
+        .select(bucket.as("__bkt")).distinct()
+      (wide: DataFrame) => wide.join(rareBuckets, bucket === col("__bkt"), "left_semi")
+    }
   }
 
   /** Boolean algebra in ONE hash-aggregate: tag each clause's matches with
@@ -302,11 +377,10 @@ class Searcher(val index: Index) extends Serializable {
     if (!clauses.exists(_._1 == Occur.Should) && positives.length >= 2 &&
         posTerms.length == positives.length && posTerms.map(_._2).distinct.length == 1) {
       val field = posTerms.head._2
-      val base = evalTermConjunction(field,
+      return evalTermConjunction(field,
         posTerms.collect { case (Occur.Must, _, t) => t },
-        posTerms.collect { case (Occur.Filter, _, t) => t })
-      return clauses.collect { case (Occur.MustNot, q) => q }
-        .foldLeft(base)((d, nq) => d.join(evalInner(nq).select("docId"), Seq("docId"), "left_anti"))
+        posTerms.collect { case (Occur.Filter, _, t) => t },
+        clauses.collect { case (Occur.MustNot, q) => q })
     }
     val numRequired = clauses.count(c => c._1 == Occur.Must || c._1 == Occur.Filter)
     // ONE dictionary lookup for all direct Term clauses (instead of one
@@ -379,14 +453,11 @@ class Searcher(val index: Index) extends Serializable {
     val cond = keys.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
     val all = index.blocks.filter(cond)
     val pruned = required.headOption match {
-      case Some((rf, rt)) =>
-        val rareBuckets = index.blocks
-          .filter(col("field") === rf && col("term") === rt)
-          .select(bucket.as("__bkt")).distinct()
-        // no broadcast hint: AQE broadcasts when the bucket list is small; at
-        // cluster scale a large rarest term degrades to a shuffled semi-join
-        all.join(rareBuckets, bucket === col("__bkt"), "left_semi").as[PostingBlock]
-      case None => all
+      // literal range predicates when the rare term's blocks are few (no
+      // extra job, pushed to the scan); distributed semi-join when not — see
+      // rareCoveragePruner
+      case Some((rf, rt)) => rareCoveragePruner(rf, rt)(all.toDF()).as[PostingBlock]
+      case None           => all
     }
     val req = required.toArray
     val opt = optional.toArray
@@ -956,8 +1027,20 @@ class Searcher(val index: Index) extends Serializable {
     val row = index.docs.filter(col("docId") === docId)
       .select(graft.index.Cols.qcol(field)).collect()
     if (row.isEmpty || row(0).isNullAt(0)) return NoDocs
+    morelikethisText(row(0).getString(0), field, minTermFreq, minDocFreq, maxQueryTerms)
+  }
+
+  /** More-like-this from RAW TEXT — the reference accepts "document id or
+    * text" (indexers.py:299-311: `mlt.like(fields[0], StringReader(doc))`;
+    * pinned at tests/test_engine.py:202-206): query-by-example against
+    * content that is not in the index. The text analyzes with the field's
+    * analyzer and ranks by the same classic MLT tf·idf as the docId form.
+    */
+  def morelikethisText(text: String, field: String, minTermFreq: Int = 2, minDocFreq: Int = 5,
+      maxQueryTerms: Int = 25): Query = {
+    if (text == null || !index.fieldStats.contains(field)) return NoDocs
     val analyzer = index.schema.analyzerFor(field)
-    val tf = analyzer.terms(row(0).getString(0)).groupBy(identity).view.mapValues(_.size)
+    val tf = analyzer.terms(text).groupBy(identity).view.mapValues(_.size)
       .filter(_._2 >= minTermFreq).toMap
     if (tf.isEmpty) return NoDocs
     val stats = termStats(field, tf.keys.toSeq)
@@ -969,6 +1052,31 @@ class Searcher(val index: Index) extends Serializable {
     }.sortBy { case (t, s) => (-s, t) }.take(maxQueryTerms)
     if (scored.isEmpty) NoDocs else Query.any(scored.map(ts => Term(field, ts._1)): _*)
   }
+
+  /** Total hit count with its exact-vs-estimate relation (Lucene TotalHits;
+    * the reference surfaces it as `Hits.count` being an int when the
+    * relation is EQUAL_TO and a float when it is an estimate,
+    * documents.py:350-355). `threshold <= 0` counts exhaustively (exact —
+    * today's `count()` contract). Otherwise counting early-terminates once
+    * `threshold` hits are seen (a LocalLimit each partition stops at, the
+    * distributed analog of Lucene's collector threshold) and reports a
+    * GREATER_THAN_OR_EQUAL lower bound.
+    */
+  def totalHits(q: Query, threshold: Long = 1000): TotalHits = {
+    if (threshold <= 0) return TotalHits(count(q), exact = true)
+    val n = eval(q).select("docId")
+      .limit(math.min(threshold + 1, Int.MaxValue.toLong).toInt).count()
+    if (n > threshold) TotalHits(threshold, exact = false) else TotalHits(n, exact = true)
+  }
+}
+
+/** Lucene TotalHits parity: `value` is exact when `exact`, else a lower
+  * bound (Relation.GREATER_THAN_OR_EQUAL_TO). [[count]] mirrors the
+  * reference's dynamic surface — int ⇔ exact, float ⇔ estimate — so code
+  * ported from `isinstance(hits.count, float)` checks has an equivalent.
+  */
+final case class TotalHits(value: Long, exact: Boolean) {
+  def count: Any = if (exact) value else value.toDouble
 }
 
 /** Position-list matchers for phrase/near queries. Lists arrive sorted

@@ -543,12 +543,22 @@ object IndexBuilder {
 
   /** Backfill blob columns absent from postings persisted by layouts that
     * predate them (payloads/offsets) — read-compat mirrors the manifest
-    * parser's tolerance of old field lines.
+    * parser's tolerance of old field lines. Reads must use
+    * [[readPostings]] (mergeSchema): a mixed-version postings dir read
+    * without schema merging infers the schema from ONE nondeterministically
+    * chosen footer, so new segments' payload/offset blobs could silently
+    * vanish (or old rows read null) depending on file listing order. Rows
+    * from pre-blob segments surface as nulls after the merge and are
+    * coalesced to empty here.
     */
   def withBlobDefaults(df: DataFrame): DataFrame =
     Seq("payloadsBlob", "offsetsBlob").foldLeft(df)((d, c) =>
-      if (d.columns.contains(c)) d
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(Array.empty[Byte])))
       else d.withColumn(c, lit(Array.empty[Byte])))
+
+  /** Schema-merged postings read — see [[withBlobDefaults]]. */
+  def readPostings(spark: SparkSession, path: String): DataFrame =
+    withBlobDefaults(spark.read.option("mergeSchema", "true").parquet(path))
 
   def load(spark: SparkSession, dir: String): Index = {
     import spark.implicits._
@@ -563,7 +573,7 @@ object IndexBuilder {
       spark,
       manifest.schema,
       spark.read.parquet(s"$dir/docs"),
-      withBlobDefaults(spark.read.parquet(s"$dir/postings")).as[PostingBlock],
+      readPostings(spark, s"$dir/postings").as[PostingBlock],
       spark.read.parquet(s"$dir/termdict"),
       manifest.fieldStats,
       deletes

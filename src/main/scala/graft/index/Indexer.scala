@@ -74,47 +74,62 @@ final class Indexer(
     // mint duplicate keys that a later compact() re-densifies over
     val keys = values.map(_._1).filter(schema.keyColumns.contains)
     require(keys.isEmpty, s"fields ${keys.mkString(", ")} are docId key columns — immutable")
-    val ids = searcher.eval(matchQ).select("docId").collect().map(_.getLong(0))
-    if (ids.isEmpty) return
-    // a per-column __set_ flag distinguishes "update to NULL" (clears the
-    // value, Lucene updateDocValues(field, null)) from "row not updated"
-    val st = StructType(
-      org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType,
-        nullable = false) +:
-      values.flatMap(v => Seq(sourceSchema(v._1),
-        org.apache.spark.sql.types.StructField(s"__set_${v._1}",
-          org.apache.spark.sql.types.BooleanType, nullable = false))))
-    val rows = ids.toSeq.map(id => Row.fromSeq(id +: values.flatMap(v => Seq(v._2, true))))
+    // DISTRIBUTED end-to-end: the matched docIds stay a DataFrame and the
+    // update values attach as literal columns — a matchQ matching millions of
+    // docs writes straight to the sidecar without ever materializing on the
+    // driver. A per-column __set_ flag distinguishes "update to NULL" (clears
+    // the value, Lucene updateDocValues(field, null)) from "row not updated".
+    val upd = values.foldLeft(searcher.eval(matchQ).select("docId")) { case (d, (name, v)) =>
+      d.withColumn(name, lit(v).cast(sourceSchema(name).dataType))
+        .withColumn(s"__set_$name", lit(true))
+    }
+    if (upd.isEmpty) return // no matches ⇒ no generation (bounded take-1 probe)
     val gen = {
       val p = new Path(s"$dir/dvupdates")
       if (!fs.exists(p)) 0 else fs.listStatus(p).length
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
-      .write.mode("overwrite").parquet(f"$dir/dvupdates/gen=$gen%06d")
+    upd.write.mode("overwrite").parquet(f"$dir/dvupdates/gen=$gen%06d")
     refresh()
   }
 
-  /** Apply the docvalues-update sidecar generations, oldest first. */
+  /** Apply the docvalues-update sidecar: all generations fold into ONE
+    * per-docId aggregate (per column, the LATEST generation that set it
+    * wins — max_by on the generation index), then ONE join against the doc
+    * store. The round-2 shape was a chain of N broadcast joins, one per
+    * generation — unbounded plan growth on every open and a forced broadcast
+    * of arbitrarily large generations; this is one shuffle of the (bounded,
+    * one row per updated doc) sidecar and a join AQE is free to broadcast
+    * when it IS small. Legacy generations without __set_ flags keep their
+    * non-null-overwrite semantics (flag := value IS NOT NULL).
+    */
   private def applyDvUpdates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = new Path(s"$dir/dvupdates")
     if (!fs.exists(p)) return docs
     val gens = fs.listStatus(p).map(_.getPath).sortBy(_.getName)
-    gens.foldLeft(docs) { (d, g) =>
-      val u = spark.read.parquet(g.toString)
-      val ucols = u.columns.filterNot(c => c == "docId" || c.startsWith("__set_")).toSeq
-      val renamed = u.columns.filterNot(_ == "docId").foldLeft(u)((x, c) =>
-        x.withColumnRenamed(c, s"__upd_$c"))
-      val joined = d.join(broadcast(renamed), Seq("docId"), "left")
-      ucols.foldLeft(joined) { (x, c) =>
-        if (u.columns.contains(s"__set_$c"))
-          // the flag (false/null for unmatched rows) gates the overwrite, so
-          // a NULL update value genuinely clears the column
-          x.withColumn(c, when(coalesce(col(s"__upd___set_$c"), lit(false)),
-            col(s"__upd_$c")).otherwise(col(c)))
-        else // legacy generation without set flags: non-null-overwrite merge
-          x.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
-      }.drop(u.columns.filterNot(_ == "docId").map(c => s"__upd_$c"): _*)
+    if (gens.isEmpty) return docs
+    val normalized = gens.zipWithIndex.map { case (g, i) =>
+      var u = spark.read.parquet(g.toString)
+      u.columns.filterNot(c => c == "docId" || c.startsWith("__set_")).foreach { c =>
+        if (!u.columns.contains(s"__set_$c"))
+          u = u.withColumn(s"__set_$c", col(c).isNotNull)
+      }
+      u.withColumn("__gen", lit(i))
     }
+    val all = normalized.reduce(_.unionByName(_, allowMissingColumns = true))
+    val ucols = all.columns.filterNot(c => c == "docId" || c == "__gen" || c.startsWith("__set_")).toSeq
+    val aggs = ucols.flatMap { c =>
+      // rows from generations that did not set c have a null ordering key and
+      // are ignored by max_by; the merged flag records whether ANY gen set c
+      Seq(
+        max_by(col(c), when(coalesce(col(s"__set_$c"), lit(false)), col("__gen"))).as(s"__upd_$c"),
+        max(coalesce(col(s"__set_$c"), lit(false))).as(s"__updset_$c"))
+    }
+    val merged = all.groupBy("docId").agg(aggs.head, aggs.tail: _*)
+    val joined = docs.join(merged, Seq("docId"), "left")
+    ucols.foldLeft(joined) { (x, c) =>
+      x.withColumn(c, when(coalesce(col(s"__updset_$c"), lit(false)),
+        col(s"__upd_$c")).otherwise(col(c)))
+    }.drop(ucols.flatMap(c => Seq(s"__upd_$c", s"__updset_$c")): _*)
   }
 
   private def nextSegId: Long =
@@ -125,23 +140,23 @@ final class Indexer(
   /** Durably commit buffered adds (one segment) and queued deletes. */
   def commit(): Unit = {
     // deletes resolve against the pre-commit view (delete-then-add order,
-    // matching IndexWriter.update)
-    val deleteIds =
-      if (pendingDeletes.isEmpty || !fs.exists(new Path(s"$dir/segments"))) None
-      else {
-        val s = searcher
-        val ids = pendingDeletes.map(q => s.eval(q).select("docId")).reduce(_ unionByName _)
-        Some(ids.distinct().collect().map(_.getLong(0))) // small driver-side batch
-      }
+    // matching IndexWriter.update) and stay DISTRIBUTED end-to-end: the
+    // matched docIds write straight to the tombstone table — a broad
+    // delete-by-query never materializes on the driver. Writing them BEFORE
+    // the segment append is equivalent (new docs cannot match a pre-add
+    // view) and keeps the resolution snapshot unambiguous.
+    if (pendingDeletes.nonEmpty && fs.exists(new Path(s"$dir/segments"))) {
+      val s = searcher
+      val ids = pendingDeletes.map(q => s.eval(q).select("docId"))
+        .reduce(_ unionByName _).distinct()
+      // empty writes would leave a schema-less (part-file-free) parquet dir
+      if (!ids.isEmpty) ids.write.mode("append").parquet(s"$dir/deletes")
+    }
     if (buf.nonEmpty) {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(buf.toSeq, math.max(1, buf.size / 10000)), sourceSchema)
       StreamingIndexer.appendSegment(df, schema, dir, nextSegId)
       buf.clear()
-    }
-    deleteIds.filter(_.nonEmpty).foreach { ids =>
-      import spark.implicits._
-      ids.toSeq.toDF("docId").write.mode("append").parquet(s"$dir/deletes")
     }
     pendingDeletes.clear()
     refresh()
@@ -151,6 +166,14 @@ final class Indexer(
     * behaves as an empty index (the reference supports querying one).
     */
   def searcher: Searcher = cachedSearcher.getOrElse {
+    // A compact() that crashed between archiving the live tree and swapping
+    // the rebuilt one in leaves this marker: the directory must fail LOUDLY
+    // instead of opening as an empty index and silently serving zero docs
+    // (the data is intact under archive/ + .compact-tmp).
+    if (fs.exists(new Path(s"$dir/.compact-inflight")))
+      throw new java.io.IOException(
+        s"$dir has an unfinished compact() (.compact-inflight marker present) — " +
+          "recover from archive/ + .compact-tmp before opening")
     if (!fs.exists(new Path(s"$dir/segments"))) {
       val empty = IndexBuilder.build(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sourceSchema), schema)
@@ -199,6 +222,12 @@ final class Indexer(
     }
     val archDir = f"$dir/archive/gen=$gen%06d"
     fs.mkdirs(new Path(archDir))
+    // commit marker: between archiving the live tree and swapping the rebuilt
+    // one in, the live tree is empty — a crash in that window must make the
+    // next open fail loudly (searcher checks this marker), not serve an
+    // empty index. Created before the first rename, removed after the last.
+    val inflight = new Path(s"$dir/.compact-inflight")
+    fs.create(inflight, true).close()
     Seq("docs", "postings", "segments", "deletes", "dvupdates").foreach { sub =>
       val src0 = new Path(s"$dir/$sub")
       if (fs.exists(src0))
@@ -208,6 +237,7 @@ final class Indexer(
       require(fs.rename(new Path(s"$tmp/$sub"), new Path(s"$dir/$sub")),
         s"compact swap-in failed for $sub — rebuilt data is in $tmp, prior commit in $archDir")
     }
+    fs.delete(inflight, false)
     fs.delete(new Path(tmp), true)
     refresh()
   }

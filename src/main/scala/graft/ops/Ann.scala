@@ -76,20 +76,59 @@ object Ann {
 
   /** Top-k against a [[buildLshIndex]] layout: the bucket filter is a plain
     * stored-column predicate (pushed to the scan), then exact re-rank.
-    * `probes` > 1 additionally searches the nearest buckets by Hamming
-    * distance on the bucket id (multi-probe LSH recall knob).
+    * `probes` > 1 additionally searches the query's nearest buckets in
+    * classic multi-probe LSH order (see [[probeSequence]]): the per-
+    * hyperplane margin |query · h_i| measures how close the query sits to
+    * each cutting plane, and buckets are visited by ascending total flipped
+    * margin — smallest-margin single flips first, then multi-bit flips — so
+    * every probe count reaches the most likely neighbor buckets, up to all
+    * 2^H of them.
     */
   def topkLshIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, vecCol: String, query: Seq[Float],
       hyperplanes: Seq[Seq[Float]], k: Int, probes: Int = 1): DataFrame = {
-    val qb = queryBucket(query, hyperplanes)
-    val buckets: Seq[Long] =
-      if (probes <= 1) Seq(qb)
-      else qb +: (0 until hyperplanes.length).map(i => qb ^ (1L << i)).take(probes - 1)
+    val margins = hyperplanes.map(h =>
+      math.abs(h.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum))
+    val buckets = probeSequence(queryBucket(query, hyperplanes), margins, probes)
     spark.read.parquet(dir)
       .filter(col("bucket").isin(buckets: _*))
       .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Multi-probe bucket sequence (the perturbation-set heap of Qin et al.,
+    * "Multi-Probe LSH", VLDB 2007): the query's own bucket, then buckets by
+    * ascending summed margin of the flipped hyperplanes. Subsets are
+    * enumerated best-first over margin-sorted hyperplane indices with the
+    * shift/expand rules, so each is generated exactly once in cost order;
+    * ties prefer fewer flips (deterministic). Asking for more probes than
+    * the 2^H reachable buckets is capped loudly.
+    */
+  def probeSequence(qb: Long, margins: Seq[Double], probes: Int): Seq[Long] = {
+    val h = margins.length
+    val reachable = if (h >= 62) Long.MaxValue else 1L << h
+    if (probes > reachable)
+      System.err.println(s"[graft.Ann] probes=$probes exceeds the $reachable reachable " +
+        s"buckets of $h hyperplanes — capped")
+    val n = math.min(probes.toLong, reachable).toInt
+    if (n <= 1 || h == 0) return Seq(qb)
+    // subsets are lists of indices into the margin-ASCENDING order, held with
+    // their largest sorted-index at the head (the shift/expand pivot)
+    val order = margins.zipWithIndex.sortBy(_._1).toArray
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, List[Int])](
+      Ordering.by((x: (Double, List[Int])) => (x._1, x._2.length)).reverse)
+    pq.enqueue((order(0)._1, List(0)))
+    val out = scala.collection.mutable.ArrayBuffer[Long](qb)
+    while (out.length < n && pq.nonEmpty) {
+      val (cost, subset) = pq.dequeue()
+      out += (qb ^ subset.foldLeft(0L)((m, i) => m | (1L << order(i)._2)))
+      val j = subset.head
+      if (j + 1 < h) {
+        pq.enqueue((cost + order(j + 1)._1, (j + 1) :: subset)) // expand
+        pq.enqueue((cost - order(j)._1 + order(j + 1)._1, (j + 1) :: subset.tail)) // shift
+      }
+    }
+    out.toSeq
   }
 }

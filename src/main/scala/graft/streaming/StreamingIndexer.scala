@@ -72,8 +72,8 @@ object StreamingIndexer {
     */
   def open(spark: SparkSession, dir: String, schema: IndexSchema): Index = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/docs").drop("segment")
-    val blocks = IndexBuilder.withBlobDefaults(spark.read.parquet(s"$dir/postings"))
+    val docs = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs").drop("segment")
+    val blocks = IndexBuilder.readPostings(spark, s"$dir/postings")
       .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
         "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob", "offsetsBlob")
       .as[PostingBlock]

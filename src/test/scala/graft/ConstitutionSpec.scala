@@ -189,6 +189,23 @@ class ConstitutionSpec extends SparkTestBase {
     assert(Set("united", "states").subsetOf(terms))
   }
 
+  test("morelikethis from raw text: 'jury' → text:jury; empty on absent field (test_engine.py:202-206)") {
+    assumeFixture()
+    val q = searcher.morelikethisText("jury", "text", minDocFreq = 4, minTermFreq = 1)
+    assert(q === Q.any(Term("text", "jury")))
+    // a field with no stats yields the empty query (reference: "" string form)
+    assert(searcher.morelikethisText("jury", "article") === NoDocs)
+    // and the ranked-OR form still works from external text never indexed
+    val q2 = searcher.morelikethisText("united states of united states", "text",
+      minTermFreq = 2, minDocFreq = 2)
+    val terms = q2 match {
+      case Bool(cs) => cs.map(_._2).collect { case Term(_, t) => t }.toSet
+      case Term(_, t) => Set(t)
+      case _ => Set.empty[String]
+    }
+    assert(Set("united", "states").subsetOf(terms))
+  }
+
   test("BM25 score anchor: text:right count 13, top id 9, doc 33 score 0.648349") {
     assumeFixture()
     // test_rest.py:42-48 (count/top id), test_graphql.py:56-65 (exact score)

@@ -185,6 +185,24 @@ class EngineSpec extends SparkTestBase {
   test("morelikethis") {
     val q = searcher.morelikethis(0, "content", minTermFreq = 2, minDocFreq = 1)
     assert(q === Q.any(Term("content", "hello")))
+    // the raw-text overload ranks identically from un-indexed content
+    assert(searcher.morelikethisText("hello hello goodbye", "content",
+      minTermFreq = 2, minDocFreq = 1) === Q.any(Term("content", "hello")))
+  }
+
+  test("totalHits relation: int when exact, float when a lower-bound estimate") {
+    // 'world' matches 3 docs: a generous threshold counts exactly
+    val exact = searcher.totalHits(Term("content", "world"), threshold = 100)
+    assert(exact === graft.exec.TotalHits(3L, exact = true))
+    assert(exact.count === 3L) // reference surface: int ⇔ EQUAL_TO
+    // a threshold below the hit count early-terminates → GTE lower bound
+    val est = searcher.totalHits(Term("content", "world"), threshold = 2)
+    assert(est === graft.exec.TotalHits(2L, exact = false))
+    assert(est.count === 2.0) // float ⇔ estimate (documents.py:350-355)
+    assert(est.count.isInstanceOf[Double])
+    // threshold <= 0 = exhaustive exact count (count() contract)
+    assert(searcher.totalHits(Term("content", "world"), threshold = 0) ===
+      graft.exec.TotalHits(3L, exact = true))
   }
 
   test("driver entry point returns rows on sf0.001") {

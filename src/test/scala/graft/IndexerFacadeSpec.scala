@@ -112,6 +112,40 @@ class IndexerFacadeSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq === Seq("n42", null))
   }
 
+  test("broad-match docvalues update stays distributed; generations fold latest-wins") {
+    val dir = Files.createTempDirectory("graft-dvbroad").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    (0 until 50).foreach(i => w.add("repo" -> "r", "path" -> f"p$i%03d", "commit" -> "c",
+      "lang" -> "en", "content" -> (if (i % 2 == 0) "alpha even" else "alpha odd")))
+    w.commit()
+    // AllDocs-breadth update: the matched-id set never collects to the driver
+    w.updateDocValues(AllDocs, "note" -> "bulk")
+    assert(w.searcher.index.docs.filter(org.apache.spark.sql.functions.col("note") === "bulk")
+      .count() === 50L)
+    // a stack of generations folds into ONE aggregate at open, latest wins
+    (1 to 5).foreach(i => w.updateDocValues(Term("content", "even"), "note" -> s"g$i"))
+    val notes = w.searcher.index.docs.groupBy("note").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(notes === Map("g5" -> 25L, "bulk" -> 25L))
+    // NULL-clear still wins over earlier generations after the fold
+    w.updateDocValues(Term("content", "odd"), "note" -> null)
+    assert(w.searcher.index.docs.filter(org.apache.spark.sql.functions.col("note").isNull)
+      .count() === 25L)
+  }
+
+  test("unfinished compact (.compact-inflight marker) fails loudly on open") {
+    val dir = Files.createTempDirectory("graft-inflight").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha")
+    w.commit()
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, ".compact-inflight"))
+    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    val e = intercept[java.io.IOException] { r.searcher }
+    assert(e.getMessage.contains("compact"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, ".compact-inflight"))
+    assert(r.count(Term("content", "alpha")) === 1L) // recovers once cleared
+  }
+
   test("compact: segments merge to one, tombstones + dv updates baked in (commit(merge=1))") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val w = new Indexer(spark, dir, idxSchema, srcSchema)

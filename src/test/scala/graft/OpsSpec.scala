@@ -166,12 +166,26 @@ class OpsSpec extends SparkTestBase {
     val scanned = Ann.topkLsh(emb, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f), planes, 10)
       .collect().map(_.getLong(0))
     assert(scanned.toSeq === Seq(0L))
-    // multi-probe flips one bucket bit at a time: probes=3 reaches bucket 3
-    // (= qb ^ plane2 bit) and recovers the near neighbor vec1
+    // multi-probe visits buckets by ascending flipped margin: the query sits
+    // ON plane2 (margin 0), so bucket 3 (= qb ^ plane2 bit) probes FIRST and
+    // recovers the near neighbor vec1; probe 3 flips plane1 → bucket 0
     val probed = Ann.topkLshIndexed(spark, dir, "vec_id", "embedding",
       Seq(1.0f, 0.0f, 0.0f), planes, 10, probes = 3)
-    // probes flip one bit each: buckets {1, 0, 3} → vec1 (bucket 3) recovered,
-    // vec3 (bucket 0) swept in and ranked last by cosine; vec2 (bucket 2) not probed
+    // buckets {1, 3, 0} → vec1 (bucket 3) recovered, vec3 (bucket 0) swept in
+    // and ranked last by cosine; vec2 (bucket 2) not probed
     assert(probed.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L))
+  }
+
+  test("ann: multi-probe sequence is margin-ordered, supports multi-bit flips, caps at 2^H") {
+    import graft.ops.Ann.probeSequence
+    // margins: h0 far (0.9), h1 close (0.1), h2 middling (0.4); qb = 0b000
+    val seq = probeSequence(0L, Seq(0.9, 0.1, 0.4), 8)
+    // ascending flipped-margin order: {} , {h1}=.1, {h2}=.4, {h1,h2}=.5,
+    // {h0}=.9, {h0,h1}=1.0, {h0,h2}=1.3, {h0,h1,h2}=1.4
+    assert(seq === Seq(0L, 2L, 4L, 6L, 1L, 3L, 5L, 7L))
+    // probes beyond the reachable 2^H bucket count cap loudly (not silently)
+    assert(probeSequence(0L, Seq(0.9, 0.1, 0.4), 100) === Seq(0L, 2L, 4L, 6L, 1L, 3L, 5L, 7L))
+    // single probe = the query bucket alone
+    assert(probeSequence(5L, Seq(0.2, 0.3), 1) === Seq(5L))
   }
 }

@@ -58,6 +58,39 @@ class PayloadSpec extends SparkTestBase {
     assert(searcher.index.blocks.collect().forall(_.payloadsBlob != null))
   }
 
+  test("mixed-version postings dir: schema-merged read keeps new payloads, legacy rows read empty") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixed").toString
+    val schema = IndexSchema(Seq("repo", "path", "commit"),
+      Map("text" -> TextField("stem-paychain", positions = true)))
+    graft.streaming.StreamingIndexer.appendSegment(
+      Seq(("r", "a0", "c", "legacy searches")).toDF("repo", "path", "commit", "text"),
+      schema, dir, 0)
+    // strip the blob columns from segment 0 — simulating a pre-payloads layout
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$dir/postings/segment=0").drop("payloadsBlob", "offsetsBlob")
+      .write.mode("overwrite").parquet(s"$dir/legacy-tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings/segment=0"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/legacy-tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings/segment=0"))
+    graft.streaming.StreamingIndexer.appendSegment(
+      Seq(("r", "a1", "c", "modern searches")).toDF("repo", "path", "commit", "text"),
+      schema, dir, 1)
+    val re = new Searcher(graft.streaming.StreamingIndexer.open(spark, dir, schema))
+    assert(re.index.numDocs === 2)
+    assert(re.count(Term("text", "search")) === 2) // both segments visible
+    val rows = re.positions("text", "search", payloads = true).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getSeq[Array[Byte]](2).map(new String(_, "UTF-8"))))
+      .toMap
+    // the NEW segment's payloads survive the merge (footer-order-independent);
+    // legacy rows coalesce to empty instead of reading null blobs
+    assert(rows(rows.keys.max) === Seq("<ALPHANUM>"))
+    assert(rows(rows.keys.min) == null)
+  }
+
   test("phrase/near still work on a payload-carrying field") {
     // query text analyzes through the same chain: "engine" stems to "engin"
     val q = searcher.parse("\"searches engines\"", "text")

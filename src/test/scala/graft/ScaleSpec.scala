@@ -112,19 +112,33 @@ class ScaleSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
-  test("positional/conjunctive plans carry the rare-bucket semi-join (scale pruning evidence)") {
+  test("positional/conjunctive pruning: literal block-range predicates; semi-join fallback above the cap") {
     val s = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 4))
     def planOf(df: org.apache.spark.sql.DataFrame): String = {
       df.collect()
       df.queryExecution.executedPlan.toString
     }
-    // phrase: wider terms' blocks prune to the rarest term's salt buckets
+    // phrase: wider terms' blocks prune to the rarest term's docId coverage
+    // via LITERAL range predicates (no shuffle, no extra job) when the rare
+    // term's block list is driver-small
     val phrasePlan = planOf(s.search(Query.phrase("content", "we", "the", "people"), 10))
-    assert(phrasePlan.contains("LeftSemi"), phrasePlan.take(1500))
+    assert(!phrasePlan.contains("LeftSemi"), phrasePlan.take(1500))
+    assert(phrasePlan.contains("lastDocId"), phrasePlan.take(1500))
     // pure term conjunction routes through the same intersect (no hash
     // aggregate of unioned full postings)
     val andPlan = planOf(s.search(Query.all(Term("content", "parse"), Term("content", "merge")), 10))
-    assert(andPlan.contains("LeftSemi"), andPlan.take(1500))
+    assert(!andPlan.contains("LeftSemi") && andPlan.contains("lastDocId"), andPlan.take(1500))
+    // above the driver cap the pruner degrades to the distributed bucket
+    // semi-join (the cluster-scale posture for a hot "rarest" term) — same
+    // results either way
+    val base = s.search(Query.phrase("content", "we", "the", "people"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    s.maxRareDriverBlocks = 0
+    val fbPlan = planOf(s.search(Query.phrase("content", "we", "the", "people"), 10))
+    assert(fbPlan.contains("LeftSemi"), fbPlan.take(1500))
+    assert(s.search(Query.phrase("content", "we", "the", "people"), 10)
+      .collect().map(_.getLong(0)).toSeq === base)
+    s.maxRareDriverBlocks = 4096
     // groupBy ranks groups without an unpartitioned window
     val gPlan = planOf(s.groupBy("lang", Term("content", "def"), groups = 2))
     assert(!gPlan.contains("Window [dense_rank"), gPlan.take(1500))
