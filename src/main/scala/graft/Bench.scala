@@ -128,6 +128,35 @@ object Bench {
           (-1L, -1L)
       }
 
+    // Sparse-rare WAND evidence at bench scale: the sf0.1 instrument above is
+    // structurally unprunable (a rare doc sits in every hot block's range at
+    // that density), so this second instrument builds the WandSpec corpus
+    // shape — a clustered rare identifier + hot keywords — and shows real
+    // block skipping (decoded < candidates) through the same distributed
+    // searchWand path, rank-exactness guaranteed by WandSpec.
+    val (wandSparseDecoded, wandSparseCandidates) =
+      try {
+        import org.apache.spark.sql.functions.col
+        import graft.query.{Query => Q, Term}
+        val idx = IndexBuilder.build(CodeCorpus.generate(spark, 3000, cpus), codeSchema, cpus)
+        val s = new graft.exec.Searcher(idx)
+        val rare = idx.termDict
+          .filter(col("field") === "content" && col("term").startsWith("scan") &&
+            col("term") =!= "scan")
+          .orderBy(col("docFreq").asc).limit(1).collect()(0).getString(1)
+        val terms = Seq(rare, "def", "class", "import", "return")
+        s.wandDecoded.reset()
+        s.search(Q.any(terms.map(Term("content", _)): _*), 1).collect()
+        (s.wandDecoded.value.toLong,
+          idx.blocks.filter(col("field") === "content" && col("term").isin(terms: _*)).count())
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains("wand_sparse_instrument"))
+            errors("wand_sparse_instrument") = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("\\s+", " ").take(200)
+          (-1L, -1L)
+      }
+
     // md5 (oracle-checkable) vs xxh64 (production) minhash signature pass
     val (minhashMd5Sec, minhashXxSec) = {
       import org.apache.spark.sql.functions.col
@@ -173,6 +202,7 @@ object Bench {
     json.append(s""","index_build_sec":${num(buildSec)}""")
     json.append(s""","minhash_md5_sec":${num(minhashMd5Sec)},"minhash_xxh_sec":${num(minhashXxSec)}""")
     json.append(s""","wand_decoded_blocks":$wandDecoded,"wand_candidate_blocks":$wandCandidates""")
+    json.append(s""","wand_sparse_decoded_blocks":$wandSparseDecoded,"wand_sparse_candidate_blocks":$wandSparseCandidates""")
     if (doScaling) {
       json.append(s""","build_docs":$benchDocs""")
       json.append(s""","build_docs_per_sec_local$scaleN":${num(rate8, 1)}""")

@@ -34,11 +34,17 @@ final class Indexer(
     val spark: SparkSession,
     val dir: String,
     val schema: IndexSchema,
-    val sourceSchema: StructType
+    val sourceSchema: StructType,
+    val nrt: Boolean = false
 ) {
   private val buf = ArrayBuffer.empty[Row]
   private val pendingDeletes = ArrayBuffer.empty[Query]
   private var cachedSearcher: Option[Searcher] = None
+  // NRT snapshot: the buffer/delete state captured by the last refresh() —
+  // the nrt searcher serves THIS, not the live buffer (Lucene NRT readers
+  // are point-in-time: add() alone is invisible until reopen)
+  private var nrtBuf: Seq[Row] = Seq.empty
+  private var nrtDeletes: Seq[Query] = Seq.empty
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -79,7 +85,7 @@ final class Indexer(
     // docs writes straight to the sidecar without ever materializing on the
     // driver. A per-column __set_ flag distinguishes "update to NULL" (clears
     // the value, Lucene updateDocValues(field, null)) from "row not updated".
-    val upd = values.foldLeft(searcher.eval(matchQ).select("docId")) { case (d, (name, v)) =>
+    val upd = values.foldLeft(committedSearcher.eval(matchQ).select("docId")) { case (d, (name, v)) =>
       d.withColumn(name, lit(v).cast(sourceSchema(name).dataType))
         .withColumn(s"__set_$name", lit(true))
     }
@@ -146,7 +152,7 @@ final class Indexer(
     // the segment append is equivalent (new docs cannot match a pre-add
     // view) and keeps the resolution snapshot unambiguous.
     if (pendingDeletes.nonEmpty && fs.exists(new Path(s"$dir/segments"))) {
-      val s = searcher
+      val s = committedSearcher
       val ids = pendingDeletes.map(q => s.eval(q).select("docId"))
         .reduce(_ unionByName _).distinct()
       // empty writes would leave a schema-less (part-file-free) parquet dir
@@ -163,9 +169,12 @@ final class Indexer(
   }
 
   /** Latest committed view, tombstones applied. A never-committed directory
-    * behaves as an empty index (the reference supports querying one).
+    * behaves as an empty index (the reference supports querying one). The
+    * write paths (commit's delete resolution, updateDocValues, compact)
+    * always use THIS view — their docIds must reference committed docs, never
+    * the NRT overlay's rebased ones.
     */
-  def searcher: Searcher = cachedSearcher.getOrElse {
+  private def committedSearcher: Searcher = {
     // A compact() that crashed between archiving the live tree and swapping
     // the rebuilt one in leaves this marker: the directory must fail LOUDLY
     // instead of opening as an empty index and silently serving zero docs
@@ -174,13 +183,9 @@ final class Indexer(
       throw new java.io.IOException(
         s"$dir has an unfinished compact() (.compact-inflight marker present) — " +
           "recover from archive/ + .compact-tmp before opening")
-    if (!fs.exists(new Path(s"$dir/segments"))) {
-      val empty = IndexBuilder.build(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sourceSchema), schema)
-      val s = new Searcher(empty)
-      cachedSearcher = Some(s)
-      return s
-    }
+    if (!fs.exists(new Path(s"$dir/segments")))
+      return new Searcher(IndexBuilder.build(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sourceSchema), schema))
     val base = StreamingIndexer.open(spark, dir, schema)
     val withDv = new Index(spark, base.schema, applyDvUpdates(base.docs), base.blocks,
       base.termDict, base.fieldStats)
@@ -188,10 +193,45 @@ final class Indexer(
       if (fs.exists(new Path(s"$dir/deletes")))
         withDv.withDeletes(spark.read.parquet(s"$dir/deletes"))
       else withDv
-    val s = new Searcher(idx)
+    new Searcher(idx)
+  }
+
+  /** The serving view. With `nrt = true` (reference `Indexer(dir, nrt=True)`,
+    * indexers.py:624-631; behavior pinned at tests/test_engine.py:600-610),
+    * the docs and deletes buffered at the last [[refresh]] overlay the
+    * committed view: the buffer becomes an in-memory segment rebased past the
+    * committed docIds ([[MultiIndex.union]], metadata-only) and the pending
+    * delete queries apply as view tombstones — uncommitted state is
+    * searchable without a single durable write, while a separate reader of
+    * the same directory keeps seeing only commits.
+    */
+  def searcher: Searcher = cachedSearcher.getOrElse {
+    val committed = committedSearcher
+    val s =
+      if (!nrt || (nrtBuf.isEmpty && nrtDeletes.isEmpty)) committed
+      else {
+        val viewIdx =
+          if (nrtBuf.isEmpty) committed.index
+          else {
+            val df = spark.createDataFrame(
+              spark.sparkContext.parallelize(nrtBuf, math.max(1, nrtBuf.size / 10000)),
+              sourceSchema)
+            MultiIndex.union(Seq(committed.index, IndexBuilder.build(df, schema)))
+          }
+        nrtDeletes.foldLeft(new Searcher(viewIdx))((s0, q) => s0.delete(q))
+      }
     cachedSearcher = Some(s)
     s
   }
+
+  /** Whether the serving view reflects all writer state (Lucene
+    * IndexReader.isCurrent surfaced as the reference's `current`): an NRT
+    * indexer is current once refresh() captured the buffer; a committed-view
+    * indexer only when nothing is buffered.
+    */
+  def current: Boolean =
+    if (nrt) nrtBuf == buf.toSeq && nrtDeletes == pendingDeletes.toSeq
+    else buf.isEmpty && pendingDeletes.isEmpty
 
   /** Compact every committed segment into ONE (reference
     * `Indexer.commit(merge=1)` / forceMerge + forceMergeDeletes,
@@ -202,7 +242,7 @@ final class Indexer(
     * enough for a single writer.
     */
   def compact(): Unit = {
-    val live = searcher.index
+    val live = committedSearcher.index
     val rows = live.deletes match {
       case None    => live.docs
       case Some(d) => live.docs.join(d, Seq("docId"), "left_anti")
@@ -324,7 +364,13 @@ final class Indexer(
       .write.mode("overwrite").parquet(s"$dst/segments")
   }
 
-  def refresh(): Unit = cachedSearcher = None
+  /** Re-resolve the serving view; for NRT, also capture the current buffer
+    * as the new point-in-time overlay (Lucene NRT reopen).
+    */
+  def refresh(): Unit = {
+    if (nrt) { nrtBuf = buf.toList; nrtDeletes = pendingDeletes.toList }
+    cachedSearcher = None
+  }
 
   def count(q: Query): Long = searcher.count(q)
   def search(q: Query, k: Int = 10) = searcher.search(q, k)

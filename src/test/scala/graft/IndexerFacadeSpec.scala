@@ -112,6 +112,39 @@ class IndexerFacadeSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq === Seq("n42", null))
   }
 
+  test("nrt=true: uncommitted adds/deletes visible after refresh(), never to a directory reader (test_engine.py:600-610)") {
+    val dir = Files.createTempDirectory("graft-nrt").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema, nrt = true)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha beta")
+    // point-in-time: an add alone is invisible until reopen (refresh)
+    assert(w.count(AllDocs) === 0L && !w.current)
+    w.refresh()
+    assert(w.count(AllDocs) === 1L && w.current)
+    assert(w.count(Term("content", "alpha")) === 1L) // searchable pre-commit
+    // a plain directory reader only ever sees commits
+    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    assert(r.count(AllDocs) === 0L && r.current)
+    // uncommitted delete: tombstones the committed doc in the NRT view only
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "en", "content" -> "gamma")
+    w.commit()
+    assert(w.count(AllDocs) === 2L)
+    w.delete(Term("content", "gamma"))
+    assert(w.count(AllDocs) === 2L) // not yet refreshed
+    w.refresh()
+    assert(w.count(AllDocs) === 1L && w.current)
+    r.refresh()
+    assert(r.count(AllDocs) === 2L) // delete still uncommitted on disk
+    // commit reconciles both views
+    w.commit()
+    r.refresh()
+    assert(w.count(AllDocs) === 1L && r.count(AllDocs) === 1L)
+    // NRT doc + committed docs score under the combined stats (union index)
+    w.add("repo" -> "r", "path" -> "p2", "commit" -> "c", "lang" -> "en", "content" -> "alpha gamma")
+    w.refresh()
+    assert(w.count(Term("content", "alpha")) === 2L)
+    assert(w.searcher.docFreq("content", "alpha") === 2L)
+  }
+
   test("broad-match docvalues update stays distributed; generations fold latest-wins") {
     val dir = Files.createTempDirectory("graft-dvbroad").toString
     val w = new Indexer(spark, dir, idxSchema, srcSchema)
