@@ -49,13 +49,22 @@ object Bench {
   private def buildRate(threads: Int, nDocs: Long): Double = {
     val spark = session(threads)
     try {
+      // materialize the synthetic fixture OUTSIDE the timed section: the
+      // generator is itself CPU-heavy per scan, so timing it (once per
+      // source pass) would measure the fixture, not the pipeline — a real
+      // deployment's source is a parquet table, re-scannable for cents
       val corpus = CodeCorpus.generate(spark, nDocs, threads * 2)
-      val sec = time {
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      // two runs, keep the faster: the first pays one-time JVM/codegen
+      // compilation (identical at every parallelism — pure measurement
+      // noise for a scaling ratio), the second measures the pipeline
+      val sec = (1 to 2).map(_ => time {
         val docs = IndexBuilder.prepareDocs(corpus, codeSchema, threads * 2)
           .repartition(threads * 2) // full-width tokenize (see IndexBuilder.build)
-        IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, codeSchema), threads * 2)
+        IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, codeSchema), codeSchema, threads * 2)
           .write.mode("overwrite").format("noop").save()
-      }
+      }).min
       nDocs / sec
     } finally spark.stop()
   }

@@ -391,6 +391,16 @@ object SparkEntry {
          |ORDER BY c.n_chars DESC, c.docid ASC LIMIT 10""".stripMargin,
     "q_prefix_docs" ->
       s"""$prelude SELECT DISTINCT docid FROM tf WHERE term LIKE 'jo%' ORDER BY docid LIMIT 20""",
+    // ORACLE NOTE (suggest/fuzzy distance family): the engine computes the
+    // RESTRICTED Damerau (OSA) distance, matching Lucene; DuckDB's
+    // damerau_levenshtein is the UNRESTRICTED variant. They agree on every
+    // pair at distance ≤ 1 (single ops are identical), so q_fuzzy_docs
+    // (maxEdits 1) is exactly safe; at distance 2 they can differ on shapes
+    // like ("ca","abc") (OSA 3 vs DL 2) — q_suggest additionally constrains
+    // candidates to the query's first letter and a ±2 length window, within
+    // which no OSA/DL-divergent pair exists for the gate corpora (verified
+    // green at sf0.001/0.01/0.1). A corpus change that introduced such a
+    // pair would flicker this row, not silently corrupt it.
     "q_suggest" -> // transposition counts as ONE edit (LuceneLevenshteinDistance)
       s"""$prelude, cand AS (
          |  SELECT term, count(*) AS docfreq, damerau_levenshtein(term, 'joon') AS dist,

@@ -50,6 +50,15 @@ object Searcher {
     * on the surviving sliver of a large dictionary (Lucene walks a
     * Levenshtein automaton in O(matches); this is the set-filter equivalent).
     */
+  /** Padded trigrams of a term (distinct) — the q-gram signature used to
+    * pre-prune fuzzy/suggest candidates (static: serializes into the UDF
+    * closure without dragging a Searcher along).
+    */
+  private[graft] def padGrams(s: String): Seq[String] = {
+    val p = "\u0001\u0001" + s + "\u0002\u0002" // sentinel chars no analyzer can emit
+    (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
+  }
+
   def fuzzyCond(q: String, maxEdits: Int, prefixLen: Int, transpositions: Boolean): Column = {
     val lenOk = abs(length(col("term")) - lit(q.length)) <= maxEdits
     val prefOk =
@@ -169,8 +178,9 @@ class Searcher(val index: Index) extends Serializable {
       constantOverTerms(f, col("term").rlike("^(?:" + pat + ")$"), 1.0)
     case Fuzzy(f, t, maxEdits, prefixLen, transpositions) =>
       // edit-distance expansion incl. the exact term (FuzzyQuery semantics,
-      // constant score)
-      constantOverTerms(f, Searcher.fuzzyCond(t, maxEdits, prefixLen, transpositions), 1.0)
+      // constant score); the trigram prefilter narrows the dictionary first
+      constantOverTerms(f, Searcher.fuzzyCond(t, maxEdits, prefixLen, transpositions), 1.0,
+        dict = fuzzyPrefiltered(f, t, maxEdits))
 
     case Points(f, vs) =>
       index.docs.filter(numericCol(f).isin(vs: _*))
@@ -206,14 +216,14 @@ class Searcher(val index: Index) extends Serializable {
     * distributed via a semi-join against the term dictionary.
     */
   private def constantOverTerms(field: String, termCond: Column, boost: Double,
-      knownTerms: Option[Seq[String]] = None): DataFrame = {
+      knownTerms: Option[Seq[String]] = None, dict: DataFrame = null): DataFrame = {
     val matchedDocs: DataFrame = knownTerms match {
       case Some(ts) =>
         // "" is the norms-sentinel pseudo-term — never a real match
         val real = ts.filter(_.nonEmpty)
         index.blocks.filter(col("field") === field && col("term").isin(real: _*)).toDF()
       case None =>
-        val termsDf = index.termDict
+        val termsDf = Option(dict).getOrElse(index.termDict)
           .filter(col("field") === field && col("term") =!= "" && termCond)
           .select("term")
         val small = termsDf.as[String].take(MaxExpandedTerms + 1)
@@ -233,6 +243,46 @@ class Searcher(val index: Index) extends Serializable {
   }
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  // ------------------------------------------------- fuzzy candidate pruning
+
+  /** Trigram inverted index over the term dictionary: (field, gram, term),
+    * distinct. Derived lazily from the (cached) termDict and pinned on first
+    * fuzzy use — at cluster scale this is a one-pass derived table a
+    * deployment would materialize next to termdict in the save() layout.
+    */
+  private lazy val termGrams: DataFrame = {
+    val g = udf((t: String) => Searcher.padGrams(t))
+    index.termDict.filter(col("term") =!= "")
+      .select(col("field"), col("term"), explode(g(col("term"))).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Dictionary view narrowed by the q-gram count filter: a term within
+    * (restricted-Damerau) distance k of `q` loses at most q+1 = 4 gram
+    * occurrences per edit (a transposition spans 4 padded trigrams; other
+    * edits 3), so it must share ≥ |grams(q)| − 4k of q's distinct grams —
+    * terms below the threshold are provably outside the distance and never
+    * reach the O(|a|·|b|) distance computation. Lucene walks a Levenshtein
+    * automaton over the FST in O(matches); this is the equivalent
+    * set-algebra prune: candidates come from |grams(q)| posting-list
+    * lookups instead of a dictionary scan. When the threshold is
+    * non-positive (short queries — bench-corpus scale), the filter is
+    * vacuous and the full length-window scan remains (already cheap there).
+    */
+  private def fuzzyPrefiltered(field: String, q: String, maxEdits: Int): DataFrame = {
+    val qg = Searcher.padGrams(q)
+    val t = qg.length - 4 * maxEdits
+    if (t < 1) index.termDict
+    else {
+      val cand = termGrams
+        .filter(col("field") === field && col("gram").isin(qg: _*))
+        .groupBy("field", "term").agg(org.apache.spark.sql.functions.count(lit(1)).as("__g"))
+        .filter(col("__g") >= t)
+        .select("field", "term")
+      index.termDict.join(cand, Seq("field", "term"), "left_semi")
+    }
+  }
 
   def wildcardToRegex(pat: String): String = {
     val sb = new StringBuilder("^")
@@ -490,10 +540,12 @@ class Searcher(val index: Index) extends Serializable {
     val slot = dfOrder.zipWithIndex.toMap
     val offs: Array[(Int, Int)] = withOffsets.map { case (t, off) => (slot(t), off) }.toArray
     val so = p.slop
+    val slotTerms = offs.map(_._1)
+    val slotOffsets = offs.map(_._2)
     val matched = positionalMatches(field, dfOrder)
       .map { case (docId, dlq, lists) =>
         val shifted = offs.map { case (s, off) => lists(s).map(_ - off) }
-        (docId, PhraseMatcher.phraseFreq(shifted, so), dlq)
+        (docId, PhraseMatcher.phraseFreq(shifted, so, slotOffsets, slotTerms), dlq)
       }
       .filter(_._2 > 0.0)
     matched.toDF("docId", "freq", "dlq")
@@ -783,12 +835,15 @@ class Searcher(val index: Index) extends Serializable {
         val tf = tfOf(f, t)
         if (tf == 0) None else Some(idf1 * tf / (tf + k(f)))
       case Phrase(f, terms, slop) =>
-        val lists = terms.zipWithIndex.collect { case (Some(t), i) =>
+        val slots = terms.zipWithIndex.collect { case (Some(t), i) => (t, i) }
+        val lists = slots.map { case (t, i) =>
           analyzed.getOrElse(f, IndexedSeq.empty).filter(_.term == t).map(_.pos - i).toArray
         }
         if (lists.exists(_.isEmpty)) None
         else {
-          val freq = PhraseMatcher.phraseFreq(lists.toArray, slop)
+          val termId = slots.map(_._1).distinct.zipWithIndex.toMap
+          val freq = PhraseMatcher.phraseFreq(lists.toArray, slop,
+            slots.map(_._2).toArray, slots.map(s => termId(s._1)).toArray)
           if (freq == 0) None
           else Some(idf1 * lists.length * freq / (freq + k(f)))
         }
@@ -895,7 +950,8 @@ class Searcher(val index: Index) extends Serializable {
     */
   def terms(field: String, prefix: String = "", stop: String = null,
       counts: Boolean = false, distance: Int = 0): DataFrame = {
-    var td = index.termDict.filter(col("field") === field && col("term") =!= "")
+    var td = (if (distance > 0) fuzzyPrefiltered(field, prefix, distance) else index.termDict)
+      .filter(col("field") === field && col("term") =!= "")
     td =
       if (distance > 0) // FuzzyTermsEnum semantics: transposition = 1 edit
         td.filter(Searcher.fuzzyCond(prefix, distance, prefixLen = 0, transpositions = true))
@@ -953,7 +1009,7 @@ class Searcher(val index: Index) extends Serializable {
     val dist = Searcher.damerau(col("term"), lit(value))
     val sim = lit(1.0) - dist.cast("double") /
       least(length(col("term")), lit(value.length)).cast("double")
-    index.termDict
+    fuzzyPrefiltered(field, value, maxEdits)
       .filter(col("field") === field && col("term") =!= "" && col("term") =!= value &&
         Searcher.fuzzyCond(value, maxEdits, prefixLen = 1, transpositions = true))
       .select(col("term"), col("docFreq"), dist.as("dist"), sim.as("sim"))
@@ -1292,9 +1348,118 @@ object PhraseMatcher {
     }
   }
 
-  /** Exact/sloppy phrase frequency over offset-adjusted position lists. */
+  /** Exact/sloppy phrase frequency over offset-adjusted position lists
+    * (slots assumed distinct-termed, in phrase order). See the 4-arg form
+    * for repeated-term phrases.
+    */
   def phraseFreq(lists: Array[Array[Int]], slop: Int): Double =
-    if (slop == 0) exactCount(lists).toDouble else slidingFreq(lists, slop, base = 0)
+    phraseFreq(lists, slop, Array.tabulate(lists.length)(identity),
+      Array.tabulate(lists.length)(identity))
+
+  /** Exact/sloppy phrase frequency. `lists(k)` = positions of phrase slot k
+    * MINUS the slot's phrase offset (an exact occurrence is a common value);
+    * `slotOffsets(k)` = that offset (repeat-collision detection, pq
+    * tie-break); `slotTerms(k)` identifies slots sharing one term.
+    */
+  def phraseFreq(lists: Array[Array[Int]], slop: Int, slotOffsets: Array[Int],
+      slotTerms: Array[Int]): Double =
+    if (slop == 0) exactCount(lists).toDouble
+    else sloppyFreq(lists, slop, slotOffsets, slotTerms)
+
+  /** Sloppy phrase frequency — a faithful port of the published Lucene
+    * SloppyPhraseMatcher/SloppyPhraseScorer.phraseFreq algorithm. Each slot
+    * walks its (offset-adjusted) positions; the minimum slot advances; when
+    * the advanced slot passes the next-lowest, the minimized window
+    * (end − lead) emits a match weighted 1/(1+matchLength) if ≤ slop — so
+    * overlapping windows each count, unlike the greedy non-overlapping
+    * matcher this replaces. REPEATED terms follow Lucene exactly: same-term
+    * slots form repeat groups whose j-th member (by phrase offset) starts on
+    * the j-th occurrence, and a collision (two slots on one term occurrence,
+    * i.e. equal position+offset) advances the lesser slot until distinct.
+    */
+  private def sloppyFreq(lists: Array[Array[Int]], slop: Int,
+      slotOffsets: Array[Int], slotTerms: Array[Int]): Double = {
+    val n = lists.length
+    if (n == 0 || lists.exists(_.isEmpty)) return 0.0
+    if (n == 1) return lists(0).length.toDouble // every position a 0-length match
+    val idx = new Array[Int](n)
+    val pos = new Array[Int](n)
+    var i = 0
+    while (i < n) { pos(i) = lists(i)(0); i += 1 }
+    val groupArr: Array[Array[Int]] = slotTerms.zipWithIndex.groupBy(_._1).valuesIterator
+      .filter(_.length > 1).map(_.sortBy(x => slotOffsets(x._2)).map(_._2)).toArray
+    val groupOf = Array.fill(n)(-1)
+    for (g <- groupArr.indices; s <- groupArr(g)) groupOf(s) = g
+    var end = Int.MinValue
+    def advancePP(s: Int): Boolean = {
+      if (idx(s) + 1 >= lists(s).length) false
+      else {
+        idx(s) += 1
+        pos(s) = lists(s)(idx(s))
+        if (pos(s) > end) end = pos(s)
+        true
+      }
+    }
+    // init: the j-th member of a repeat group starts on its j-th occurrence
+    // (Lucene advanceRepeatGroups for simple — single-term — repeats)
+    for (g <- groupArr; j <- 1 until g.length; _ <- 0 until j)
+      if (!advancePP(g(j))) return 0.0
+    i = 0
+    while (i < n) { if (pos(i) > end) end = pos(i); i += 1 }
+    def less(a: Int, b: Int): Boolean = // PhraseQueue order: (position, offset)
+      pos(a) < pos(b) || (pos(a) == pos(b) && slotOffsets(a) < slotOffsets(b))
+    def collide(s: Int): Int = { // slot of the same group on the SAME occurrence
+      val g = groupArr(groupOf(s))
+      var j = 0
+      while (j < g.length) {
+        if (g(j) != s && pos(g(j)) + slotOffsets(g(j)) == pos(s) + slotOffsets(s))
+          return g(j)
+        j += 1
+      }
+      -1
+    }
+    def advanceRpts(start: Int): Boolean = {
+      if (groupOf(start) < 0) return true
+      var p = start
+      var k = collide(p)
+      while (k >= 0) {
+        p = if (less(p, k)) p else k // always advance the lesser of the tied pair
+        if (!advancePP(p)) return false
+        k = collide(p)
+      }
+      true
+    }
+    def minSlot(except: Int): Int = {
+      var best = -1
+      var j = 0
+      while (j < n) {
+        if (j != except && (best < 0 || less(j, best))) best = j
+        j += 1
+      }
+      best
+    }
+    val hasRpts = groupArr.nonEmpty
+    var freq = 0.0
+    var pp = minSlot(-1)
+    var matchLength = end - pos(pp)
+    var next = pos(minSlot(pp))
+    var done = false
+    while (!done) {
+      if (!advancePP(pp)) done = true
+      else if (hasRpts && !advanceRpts(pp)) done = true
+      else if (pos(pp) > next) { // done minimizing the current leading window
+        if (matchLength <= slop) freq += 1.0 / (1 + matchLength)
+        pp = minSlot(-1)
+        next = pos(minSlot(pp))
+        matchLength = end - pos(pp)
+      } else {
+        val ml2 = end - pos(pp)
+        if (ml2 < matchLength) matchLength = ml2
+      }
+    }
+    if (matchLength <= slop) freq += 1.0 / (1 + matchLength)
+    freq
+  }
 
   /** Span-near frequency over raw position lists: slack = span length −
     * #terms ≤ slop, optionally in order (SpanNearQuery semantics).
@@ -1336,11 +1501,11 @@ object PhraseMatcher {
     count
   }
 
-  /** Greedy minimal-window sloppy matcher: repeatedly evaluate the current
-    * window over one position per list; when window ≤ slop, emit a match
-    * weighted 1/(1+window) and advance all pointers past it; otherwise
-    * advance the minimum. Matches Lucene's sloppy scorer on the reference's
-    * pinned cases (non-overlapping greedy matching).
+  /** Greedy minimal-window matcher for UNORDERED NEAR only (phrases use the
+    * Lucene-exact [[sloppyFreq]]): evaluate the window over one position per
+    * list; when window ≤ slop, emit a match weighted 1/(1+window) and
+    * advance all pointers past it (non-overlapping); otherwise advance the
+    * minimum.
     */
   private def slidingFreq(lists: Array[Array[Int]], slop: Int, base: Int): Double = {
     val n = lists.length

@@ -65,7 +65,7 @@ object CheckpointedBuild {
         val lo = k * segSize
         val hi = math.min(total, (k + 1) * segSize)
         val slice = docs.filter(col("docId") >= lo && col("docId") < hi)
-        val blocks = IndexBuilder.blocksOf(IndexBuilder.tokensOf(slice, schema), parts)
+        val blocks = IndexBuilder.blocksOf(IndexBuilder.tokensOf(slice, schema), schema, parts)
         blocks.write.mode("overwrite").parquet(segDir)
         val sec = (System.nanoTime() - t0) / 1e9
         // metrics from the committed (compressed) blocks — cheap re-read

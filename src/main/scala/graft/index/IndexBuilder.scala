@@ -112,7 +112,12 @@ object DocIds {
     // no RNG, no re-sampling across jobs; one source scan instead of the
     // count + sample pair)
     val cap = 512
-    val perPart = keyed.select($"__key").as[String].mapPartitions { it =>
+    // the narrow key projection is persisted so the boundary-sample pass and
+    // the bucket-count pass below share ONE scan of the (possibly expensive)
+    // source; spill-safe, dropped before the full-width ranking job
+    val keysOnly = keyed.select($"__key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPart = keysOnly.as[String].mapPartitions { it =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       var stride = 1L
       var seen = 0L
@@ -151,8 +156,11 @@ object DocIds {
     })
     val parted = keyed.withColumn("__pid", pidUdf($"__key"))
 
-    val counts = parted.groupBy($"__pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exact rows-per-bucket from the cached keys (no second source scan);
+    // pidUdf is deterministic on __key, so these counts match the ranking job
+    val counts = keysOnly.select(pidUdf($"__key").as("__pid")).groupBy($"__pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    keysOnly.unpersist()
     var acc = 0L
     val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
     val offsetsDf = spark.createDataset(offsets.toSeq).toDF("__pid", "__offset")
@@ -337,10 +345,24 @@ object IndexBuilder {
 
   /** One (field, term, doc) occurrence row — the unit that shuffles.
     * Positions (and payloads) ship pre-VByte-encoded (compact bytes, not
-    * arrays of arrays).
+    * arrays of arrays). The field ships DICTIONARY-ENCODED as an index into
+    * [[fieldDictOf]]'s sorted name list: a fixed-width int instead of a
+    * repeated string shaves ~8–16 bytes per occurrence row off the build
+    * shuffle and makes the sort key comparison integral.
     */
-  final case class TermDoc(field: String, term: String, docId: Long, freq: Int, dlq: Int,
+  final case class TermDoc(fieldId: Int, term: String, docId: Long, freq: Int, dlq: Int,
       posBlob: Array[Byte], payBlob: Array[Byte] = null, offBlob: Array[Byte] = null)
+
+  /** Every field name the tokenizer can emit (incl. NestedField component
+    * prefixes), sorted — the dictionary for [[TermDoc.fieldId]].
+    */
+  def fieldDictOf(schema: IndexSchema): Array[String] =
+    schema.fields.toSeq.flatMap {
+      case (n, NestedField(sep)) =>
+        val parts = n.split(java.util.regex.Pattern.quote(sep))
+        (1 to parts.length).map(i => parts.take(i).mkString(sep))
+      case (n, _) => Seq(n)
+    }.distinct.sorted.toArray
 
   /** Docs-per-salt-bucket shift: posting blocks never span a bucket, so a hot
     * term's postings build in parallel across `numDocs / 2^shift` tasks with
@@ -387,7 +409,7 @@ object IndexBuilder {
     // persist: the stats collection below is an action, and queries reuse
     // blocks — without this the tokenize+shuffle pipeline would re-execute
     // per action (the at-scale path, CheckpointedBuild, persists to parquet)
-    val blocks = blocksOf(tokensOf(docs, schema), parts)
+    val blocks = blocksOf(tokensOf(docs, schema), schema, parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termDict = termDictOf(blocks)
     new Index(spark, schema, docs, blocks, termDict, fieldStatsOf(blocks))
@@ -420,6 +442,7 @@ object IndexBuilder {
       case (n, NestedField(sep)) => n -> n.split(java.util.regex.Pattern.quote(sep))
     }.toMap
     val inputCols = col("docId") +: indexedCols.map(Cols.qcol)
+    val fid: Map[String, Int] = fieldDictOf(schema).zipWithIndex.toMap
 
     docs.select(inputCols: _*).flatMap { row =>
       val docId = row.getLong(0)
@@ -445,9 +468,9 @@ object IndexBuilder {
                 byTerm.getOrElseUpdate(t.term,
                   scala.collection.mutable.ArrayBuffer.empty[graft.analysis.Token]) += t
               }
-              val sentinel = TermDoc(name, "", docId, 0, dlq, null)
+              val sentinel = TermDoc(fid(name), "", docId, 0, dlq, null)
               Iterator.single(sentinel) ++ byTerm.iterator.map { case (term, ts) =>
-                TermDoc(name, term, docId, ts.length, dlq,
+                TermDoc(fid(name), term, docId, ts.length, dlq,
                   if (withPos) PostingCodec.encodePositions(ts.map(_.pos).toArray) else null,
                   if (withPay) PostingCodec.encodePayloads(ts.map(_.payload).toArray) else null,
                   if (withOff) PostingCodec.encodeOffsets(
@@ -463,9 +486,9 @@ object IndexBuilder {
             // omitNorms semantics: dlq=0 → BM25 uses K = k1 (norm-free).
             if (values.isEmpty) Iterator.empty
             else {
-              val sentinel = TermDoc(name, "", docId, 0, 0, null)
+              val sentinel = TermDoc(fid(name), "", docId, 0, 0, null)
               Iterator.single(sentinel) ++ values.distinct.iterator.map { v =>
-                TermDoc(name, v, docId, values.count(_ == v), 0, null)
+                TermDoc(fid(name), v, docId, values.count(_ == v), 0, null)
               }
             }
           case NestedField(sep) =>
@@ -475,7 +498,7 @@ object IndexBuilder {
             (1 to k).iterator.flatMap { i =>
               val f = names.take(i).mkString(sep)
               val v = parts.take(i).mkString(sep)
-              Iterator(TermDoc(f, "", docId, 0, 0, null), TermDoc(f, v, docId, 1, 0, null))
+              Iterator(TermDoc(fid(f), "", docId, 0, 0, null), TermDoc(fid(f), v, docId, 1, 0, null))
             }
         }
       }
@@ -485,18 +508,19 @@ object IndexBuilder {
   /** Salted, block-aligned postings build: one shuffle, streaming encoder,
     * memory bounded by one 128-posting block.
     */
-  def blocksOf(tokens: Dataset[TermDoc], parts: Int,
+  def blocksOf(tokens: Dataset[TermDoc], schema: IndexSchema, parts: Int,
       saltShift: Int = SaltShift): Dataset[PostingBlock] = {
     // finer-than-default shifts nest inside the WAND routing buckets;
     // coarser ones would let blocks straddle them
     require(saltShift <= SaltShift, s"saltShift $saltShift > $SaltShift")
     val shift = saltShift
+    val names = fieldDictOf(schema)
     val spark = tokens.sparkSession
     import spark.implicits._
     tokens
-      .repartition(parts, col("field"), col("term"), shiftrightunsigned(col("docId"), shift))
-      .sortWithinPartitions("field", "term", "docId")
-      .mapPartitions(rows => blockify(rows, shift))
+      .repartition(parts, col("fieldId"), col("term"), shiftrightunsigned(col("docId"), shift))
+      .sortWithinPartitions("fieldId", "term", "docId")
+      .mapPartitions(rows => blockify(rows, shift, names))
   }
 
   def termDictOf(blocks: Dataset[PostingBlock]): DataFrame =
@@ -512,10 +536,6 @@ object IndexBuilder {
       r.getString(0) -> FieldStats(r.getLong(1), r.getLong(2))
     }.toMap
 
-  /** Group a (field, term, docId)-sorted iterator into encoded blocks. */
-  def blockify(rows: Iterator[TermDoc]): Iterator[PostingBlock] =
-    blockify(rows, SaltShift)
-
   /** Blocks are additionally CUT at salt-bucket boundaries: a build partition
     * can hold several buckets of the same term (hash collisions), and the
     * WAND evaluator co-partitions blocks by `firstDocId >>> SaltShift` — a
@@ -523,21 +543,22 @@ object IndexBuilder {
     * partitions. Bucket-aligned cuts make bucket(firstDocId) identify ALL
     * docs in the block.
     */
-  def blockify(rows: Iterator[TermDoc], saltShift: Int): Iterator[PostingBlock] =
+  def blockify(rows: Iterator[TermDoc], saltShift: Int,
+      fieldNames: Array[String]): Iterator[PostingBlock] =
     new scala.collection.AbstractIterator[PostingBlock] {
       private var cur: TermDoc = if (rows.hasNext) rows.next() else null
       override def hasNext: Boolean = cur != null
       override def next(): PostingBlock = {
-        val f = cur.field
+        val f = cur.fieldId
         val t = cur.term
         val bucket = cur.docId >>> saltShift
         val buf = scala.collection.mutable.ArrayBuffer.empty[RawPosting]
         while (cur != null && buf.length < PostingCodec.BlockSize &&
-            cur.field == f && cur.term == t && (cur.docId >>> saltShift) == bucket) {
+            cur.fieldId == f && cur.term == t && (cur.docId >>> saltShift) == bucket) {
           buf += RawPosting(cur.docId, cur.freq, cur.dlq, cur.posBlob, cur.payBlob, cur.offBlob)
           cur = if (rows.hasNext) rows.next() else null
         }
-        PostingCodec.encodeRaw(f, t, buf.toSeq)
+        PostingCodec.encodeRaw(fieldNames(f), t, buf.toSeq)
       }
     }
 

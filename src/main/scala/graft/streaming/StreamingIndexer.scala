@@ -57,7 +57,7 @@ object StreamingIndexer {
       .withColumn("docId", col("docId") + offset)
     localDocs.write.mode("overwrite").parquet(s"$dir/docs/segment=$segId")
     val docsBack = spark.read.parquet(s"$dir/docs/segment=$segId")
-    IndexBuilder.blocksOf(IndexBuilder.tokensOf(docsBack, schema), parts)
+    IndexBuilder.blocksOf(IndexBuilder.tokensOf(docsBack, schema), schema, parts)
       .write.mode("overwrite").parquet(s"$dir/postings/segment=$segId")
     val n = docsBack.count()
     val (nPostings, nBytes) =

@@ -125,7 +125,9 @@ class PropertySpec extends SparkTestBase {
             val lists = withOff.map { case (t, off) => positions(id, t).map(_ - off) }.toArray
             if (lists.exists(_.isEmpty)) None
             else {
-              val freq = PhraseMatcher.phraseFreq(lists, slop)
+              val termId = withOff.map(_._1).distinct.zipWithIndex.toMap
+              val freq = PhraseMatcher.phraseFreq(lists, slop,
+                withOff.map(_._2).toArray, withOff.map(x => termId(x._1)).toArray)
               if (freq <= 0) None else Some(id -> Bm25.score(freq, dlq(id), w, avgdl))
             }
           }.toMap

@@ -75,7 +75,7 @@ class ScaleSpec extends SparkTestBase {
     // of the salt granularity.
     val docs = IndexBuilder.prepareDocs(corpus, schema, 4)
     def decodedPostings(shift: Int): Seq[(String, String, Long, Int)] =
-      IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, schema), 4, saltShift = shift)
+      IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, schema), schema, 4, saltShift = shift)
         .collect()
         .flatMap(b => PostingCodec.decodeBlock(b, withPositions = false)
           .map(p => (b.field, b.term, p.docId, p.tf)))
@@ -142,6 +142,33 @@ class ScaleSpec extends SparkTestBase {
     // groupBy ranks groups without an unpartitioned window
     val gPlan = planOf(s.groupBy("lang", Term("content", "def"), groups = 2))
     assert(!gPlan.contains("Window [dense_rank"), gPlan.take(1500))
+  }
+
+  test("fuzzy trigram prefilter: identical results, candidates ≪ dictionary, fallback for short queries") {
+    val s = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 4))
+    val dict = s.index.termDict
+      .filter(col("field") === "content" && col("term") =!= "")
+      .select("term").collect().map(_.getString(0))
+    for (q <- Seq("scanhash", "mergebatch", "tokeniz"); k <- Seq(1, 2)) {
+      // gram-prefiltered expansion == the raw length-window scan's expansion
+      val got = s.terms("content", q, distance = k).collect().map(_.getString(0)).toSeq
+      val raw = dict.filter(t => graft.util.EditDistance.damerau(t, q) <= k).sorted.toSeq
+      assert(got === raw, s"q=$q k=$k")
+    }
+    // the filter provably engages and prunes: count candidates with an
+    // independent driver-side reimplementation of the q-gram bound
+    val qg = Searcher.padGrams("mergebatch").toSet
+    val threshold = qg.size - 4 // maxEdits 1, transposition spans 4 trigrams
+    val candidates = dict.count(t => Searcher.padGrams(t).count(qg.contains) >= threshold)
+    assert(candidates < dict.length / 5, s"$candidates of ${dict.length}")
+    // plan evidence: the gram semi-join is present for long queries...
+    val longQ = s.terms("content", "mergebatch", distance = 1)
+    longQ.collect()
+    assert(longQ.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // ...and absent (vacuous threshold → full scan) for short ones
+    val shortQ = s.terms("content", "ab", distance = 2)
+    shortQ.collect()
+    assert(!shortQ.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
 
   test("hot-term skew: 'the'/'def' posting blocks stay block-aligned and decodable") {
