@@ -226,6 +226,22 @@ object SparkEntry {
     // definition serves both so Spark and oracle can never drift apart.
     "q_dedup_minhash" -> ((sp, dir) => minhashPipeline(sp, dir, maxBucketSize = 0)),
     "q_dedup_minhash_capped" -> ((sp, dir) => minhashPipeline(sp, dir, maxBucketSize = MinhashCap)),
+    // embedding-cosine near-dup: planted duplicates are ×2-scaled copies
+    // (exact in float — exponent bump only — so cosine and every hyperplane
+    // sign are preserved bit-for-bit in both engines); LSH sign-bucket
+    // candidates, exact cosine ≥ 0.999 verify. The corpus's natural max
+    // pairwise cosine is ~0.51, so exactly the 25 planted pairs survive.
+    "q_dedup_cosine" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val hp = emb.filter(col("vec_id").isin(1, 2, 3)).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0))
+      graft.ops.Dedup.cosineNearDup(planted, "vec_id", "embedding", hp.toSeq, 0.999)
+        .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
+    }),
     "q_ann_topk" -> ((sp, dir) => {
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
@@ -471,6 +487,33 @@ object SparkEntry {
     },
     "q_dedup_minhash" -> minhashOracleSql(cap = 0),
     "q_dedup_minhash_capped" -> minhashOracleSql(cap = MinhashCap),
+    "q_dedup_cosine" -> {
+      val dot = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val nrm = (a: String) =>
+        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      def bucket(v: String) = (0 until 3)
+        .map(i => s"(CASE WHEN ${dot(v, s"hp.h$i")} > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH planted AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+         |  FROM embeddings WHERE vec_id < 25
+         |), hp AS (
+         |  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 1) AS h0,
+         |         (SELECT embedding FROM embeddings WHERE vec_id = 2) AS h1,
+         |         (SELECT embedding FROM embeddings WHERE vec_id = 3) AS h2
+         |), bux AS (
+         |  SELECT p.vec_id, p.embedding, ${bucket("p.embedding")} AS bucket
+         |  FROM planted p CROSS JOIN hp
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dot("a.embedding", "b.embedding")} / (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cos
+         |  FROM bux a JOIN bux b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
+         |FROM pairs WHERE cos >= 0.999""".stripMargin
+    },
     "q_groupby_repo" ->
       s"""$prelude${scoredCte(Seq("data"))}, wf AS (
          |  SELECT s.docid, s.score, c.repo FROM scored s JOIN corpus c USING (docid)

@@ -184,6 +184,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates come from a
+    * sign-bucket LSH equi-join — pairs agreeing on EVERY hyperplane sign
+    * share one bucket id, so candidate generation is a shuffle join on the
+    * bucket (≈ N²/2^H work per bucket), never an all-pairs product — then
+    * the exact cosine ≥ `minCos` verify runs on candidates only. The
+    * recall/cost trade is the standard LSH one: a near-dup pair is missed
+    * only if some hyperplane separates it (probability ∝ angle/π per
+    * plane); production tightens with multiple bucket tables or
+    * [[Ann.probeSequence]]-style multi-probe.
+    */
+  def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
+      hyperplanes: Seq[Seq[Float]], minCos: Double): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Ann.signBucket(col(vecCol), hyperplanes).as("bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Ann.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: join shingle sets back and
     * compute |∩|/|∪| over distinct shingles.
     */

@@ -176,6 +176,27 @@ class OpsSpec extends SparkTestBase {
     assert(probed.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L))
   }
 
+  test("dedup: embedding-cosine near-dup via sign-bucket LSH + exact verify") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.1f, 0.0f)),
+      (1L, Seq(2.0f, 0.2f, 0.0f)),   // ×2 of vec0 → cosine 1.0, same signs
+      (2L, Seq(0.0f, 1.0f, 0.3f)),
+      (3L, Seq(-1.0f, -0.1f, 0.0f)), // antipodal to vec0: different bucket
+      (4L, Seq(0.0f, 2.0f, 0.6f))    // ×2 of vec2
+    ).toDF("vec_id", "embedding")
+    val planes = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    val got = graft.ops.Dedup.cosineNearDup(emb, "vec_id", "embedding", planes, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((0L, 1L), (2L, 4L)))
+    // the antipodal vector never becomes a candidate (bucket disagreement),
+    // and near-but-not-duplicate pairs in one bucket fail the exact verify
+    val loose = graft.ops.Dedup.cosineNearDup(emb, "vec_id", "embedding", planes, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(!loose.contains((0L, 3L)))
+  }
+
   test("ann: multi-probe sequence is margin-ordered, supports multi-bit flips, caps at 2^H") {
     import graft.ops.Ann.probeSequence
     // margins: h0 far (0.9), h1 close (0.1), h2 middling (0.4); qb = 0b000
