@@ -50,14 +50,9 @@ object Searcher {
     * on the surviving sliver of a large dictionary (Lucene walks a
     * Levenshtein automaton in O(matches); this is the set-filter equivalent).
     */
-  /** Padded trigrams of a term (distinct) — the q-gram signature used to
-    * pre-prune fuzzy/suggest candidates (static: serializes into the UDF
-    * closure without dragging a Searcher along).
-    */
-  private[graft] def padGrams(s: String): Seq[String] = {
-    val p = "\u0001\u0001" + s + "\u0002\u0002" // sentinel chars no analyzer can emit
-    (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
-  }
+  /** Padded trigrams of a term — see [[graft.index.TermGrams.padGrams]]. */
+  private[graft] def padGrams(s: String): Seq[String] =
+    graft.index.TermGrams.padGrams(s)
 
   def fuzzyCond(q: String, maxEdits: Int, prefixLen: Int, transpositions: Boolean): Column = {
     val lenOk = abs(length(col("term")) - lit(q.length)) <= maxEdits
@@ -246,15 +241,14 @@ class Searcher(val index: Index) extends Serializable {
 
   // ------------------------------------------------- fuzzy candidate pruning
 
-  /** Trigram inverted index over the term dictionary: (field, gram, term),
-    * distinct. Derived lazily from the (cached) termDict and pinned on first
-    * fuzzy use — at cluster scale this is a one-pass derived table a
-    * deployment would materialize next to termdict in the save() layout.
+  /** Trigram inverted index over the term dictionary: (field, gram, term).
+    * The save() layout materializes it range-laid-out by (field, gram)
+    * (parquet min/max pruning per gram lookup — the serving shape); an
+    * in-memory or pre-grams index derives it lazily from the (cached)
+    * termDict and pins it on first fuzzy use.
     */
-  private lazy val termGrams: DataFrame = {
-    val g = udf((t: String) => Searcher.padGrams(t))
-    index.termDict.filter(col("term") =!= "")
-      .select(col("field"), col("term"), explode(g(col("term"))).as("gram"))
+  private lazy val termGrams: DataFrame = index.termGrams.getOrElse {
+    graft.index.TermGrams.of(index.termDict)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -187,7 +187,10 @@ final class Index(
     val blocks: Dataset[PostingBlock],
     val termDict: DataFrame, // (field, term, docFreq, totalTermFreq)
     val fieldStats: Map[String, FieldStats],
-    val deletes: Option[DataFrame] = None // tombstoned docIds (liveDocs bits)
+    val deletes: Option[DataFrame] = None, // tombstoned docIds (liveDocs bits)
+    // stored trigram candidate index over the dictionary (save() layout);
+    // absent => derived lazily by the searcher
+    val termGrams: Option[DataFrame] = None
 ) {
   def numDocs: Long = docs.count()
 
@@ -283,6 +286,14 @@ final class Index(
     termDict.repartitionByRange(col("field"), col("term"))
       .sortWithinPartitions("field", "term")
       .write.mode("overwrite").parquet(s"$dir/termdict")
+    // trigram candidate index for fuzzy/suggest, range-laid-out by
+    // (field, gram) so a query's |grams(q)| lookups prune whole files via
+    // parquet min/max stats — the serving-grade form of the prefilter the
+    // searcher otherwise derives per process
+    TermGrams.of(termDict)
+      .repartitionByRange(col("field"), col("gram"))
+      .sortWithinPartitions("field", "gram")
+      .write.mode("overwrite").parquet(s"$dir/termgrams")
     deletes.foreach(_.write.mode("overwrite").parquet(s"$dir/deletes"))
     IndexManifest.write(spark, s"$dir/manifest", IndexManifest(schema, fieldStats))
   }
@@ -597,7 +608,32 @@ object IndexBuilder {
       readPostings(spark, s"$dir/postings").as[PostingBlock],
       spark.read.parquet(s"$dir/termdict"),
       manifest.fieldStats,
-      deletes
+      deletes,
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/termgrams")))
+        Some(spark.read.parquet(s"$dir/termgrams"))
+      else None // pre-grams layout: the searcher derives it
     )
+  }
+}
+
+/** Trigram q-gram signatures over dictionary terms — the fuzzy/suggest
+  * candidate prefilter (see Searcher.fuzzyPrefiltered for the distance
+  * bound).
+  */
+object TermGrams {
+
+  /** Padded trigrams of a term (distinct). Static so the UDF closure stays
+    * slim.
+    */
+  def padGrams(s: String): Seq[String] = {
+    val p = "\u0001\u0001" + s + "\u0002\u0002" // sentinel chars no analyzer can emit
+    (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
+  }
+
+  /** (field, term, gram) rows for every dictionary term. */
+  def of(termDict: DataFrame): DataFrame = {
+    val g = udf((t: String) => padGrams(t))
+    termDict.filter(col("term") =!= "")
+      .select(col("field"), col("term"), explode(g(col("term"))).as("gram"))
   }
 }

@@ -169,6 +169,17 @@ class ScaleSpec extends SparkTestBase {
     val shortQ = s.terms("content", "ab", distance = 2)
     shortQ.collect()
     assert(!shortQ.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // save() materializes the gram table; a loaded index serves the filter
+    // from parquet with the gram lookups pushed down to the scan
+    val dir = Files.createTempDirectory("graft-grams").toString
+    s.index.save(dir)
+    val loaded = new Searcher(IndexBuilder.load(spark, dir))
+    val stored = loaded.terms("content", "mergebatch", distance = 1)
+    val viaStored = stored.collect().map(_.getString(0)).toSeq
+    assert(viaStored === s.terms("content", "mergebatch", distance = 1)
+      .collect().map(_.getString(0)).toSeq)
+    val p2 = stored.queryExecution.executedPlan.toString
+    assert(p2.contains("termgrams") && p2.contains("PushedFilters"), p2.take(1200))
   }
 
   test("hot-term skew: 'the'/'def' posting blocks stay block-aligned and decodable") {
