@@ -1455,12 +1455,45 @@ object PhraseMatcher {
     freq
   }
 
-  /** Span-near frequency over raw position lists: slack = span length −
-    * #terms ≤ slop, optionally in order (SpanNearQuery semantics).
+  /** Span-near frequency over raw position lists (SpanNearQuery +
+    * SpanScorer semantics): every match weighs 1/(1+slack), slack = span
+    * width − #terms. Ordered matches anchor at each first-term position
+    * with the minimal increasing chain (NearSpansOrdered); unordered
+    * matches enumerate min-start windows, advancing the minimum subspan
+    * each step (NearSpansUnordered) — overlapping windows each count.
     */
   def nearFreq(lists: Array[Array[Int]], slop: Int, inOrder: Boolean): Double =
-    if (inOrder) orderedNearCount(lists, slop).toDouble
-    else slidingFreq(lists, slop, base = lists.length - 1)
+    if (inOrder) orderedNearFreq(lists, slop)
+    else unorderedNearFreq(lists, slop)
+
+  /** Unordered-near enumeration: evaluate the current window (one position
+    * per list); if its slack fits, count 1/(1+slack); always advance the
+    * minimum-position list; stop when it is exhausted — the NearSpansUnordered
+    * walk (each composite start position evaluated exactly once).
+    */
+  private def unorderedNearFreq(lists: Array[Array[Int]], slop: Int): Double = {
+    val n = lists.length
+    if (n == 0 || lists.exists(_.isEmpty)) return 0.0
+    val ptr = new Array[Int](n)
+    var freq = 0.0
+    var done = false
+    while (!done) {
+      var minI = 0
+      var minStart = Int.MaxValue
+      var maxEnd = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val p = lists(i)(ptr(i))
+        if (p < minStart) { minStart = p; minI = i }
+        if (p + 1 > maxEnd) maxEnd = p + 1
+        i += 1
+      }
+      val slack = maxEnd - minStart - n
+      if (slack <= slop) freq += 1.0 / (1 + math.max(0, slack))
+      if (ptr(minI) + 1 < lists(minI).length) ptr(minI) += 1 else done = true
+    }
+    freq
+  }
 
   /** Count values common to all lists (each sorted ascending). */
   private def exactCount(lists: Array[Array[Int]]): Int = {
@@ -1495,33 +1528,33 @@ object PhraseMatcher {
     count
   }
 
-  /** Greedy minimal-window matcher for UNORDERED NEAR only (phrases use the
-    * Lucene-exact [[sloppyFreq]]): evaluate the window over one position per
-    * list; when window ≤ slop, emit a match weighted 1/(1+window) and
-    * advance all pointers past it (non-overlapping); otherwise advance the
-    * minimum.
+  /** Ordered-near frequency: for each first-term position, the greedy
+    * minimal increasing chain; a fitting chain contributes 1/(1+slack)
+    * (NearSpansOrdered + SpanScorer sloppy weight).
     */
-  private def slidingFreq(lists: Array[Array[Int]], slop: Int, base: Int): Double = {
+  private def orderedNearFreq(lists: Array[Array[Int]], slop: Int): Double = {
     val n = lists.length
-    val ptr = new Array[Int](n)
+    if (n == 0 || lists.exists(_.isEmpty)) return 0.0
     var freq = 0.0
-    while (ptr.indices.forall(i => ptr(i) < lists(i).length)) {
-      var mn = Int.MaxValue; var mx = Int.MinValue; var mnIdx = 0
-      var i = 0
-      while (i < n) {
-        val v = lists(i)(ptr(i))
-        if (v < mn) { mn = v; mnIdx = i }
-        if (v > mx) mx = v
+    val first = lists(0)
+    var s = 0
+    while (s < first.length) {
+      val p0 = first(s)
+      var prev = p0
+      var ok = true
+      var i = 1
+      while (i < n && ok) {
+        val l = lists(i)
+        var j = 0
+        while (j < l.length && l(j) <= prev) j += 1
+        if (j >= l.length) ok = false else prev = l(j)
         i += 1
       }
-      val window = mx - mn - base
-      if (window <= slop) {
-        freq += 1.0 / (1 + math.max(0, window))
-        var k = 0
-        while (k < n) { ptr(k) += 1; k += 1 }
-      } else {
-        ptr(mnIdx) += 1
+      if (ok) {
+        val slack = (prev - p0 + 1) - n
+        if (slack <= slop) freq += 1.0 / (1 + math.max(0, slack))
       }
+      s += 1
     }
     freq
   }
@@ -1550,31 +1583,4 @@ object PhraseMatcher {
     out.toArray
   }
 
-  /** Ordered near: greedy scan requiring strictly increasing positions with
-    * total slack ≤ slop (SpanNearQuery inOrder=true semantics).
-    */
-  private def orderedNearCount(lists: Array[Array[Int]], slop: Int): Int = {
-    val n = lists.length
-    var count = 0
-    var startPtr = 0
-    val first = lists(0)
-    var s = 0
-    while (s < first.length) {
-      val p0 = first(s)
-      // greedily find smallest increasing chain from p0
-      var prev = p0
-      var ok = true
-      var i = 1
-      while (i < n && ok) {
-        val l = lists(i)
-        var j = 0
-        while (j < l.length && l(j) <= prev) j += 1
-        if (j >= l.length) ok = false else prev = l(j)
-        i += 1
-      }
-      if (ok && (prev - p0 + 1) - n <= slop) count += 1
-      s += 1
-    }
-    count
-  }
 }

@@ -46,6 +46,20 @@ class SloppyPhraseSpec extends SparkTestBase {
     assert(math.abs(f - 0.7) < 1e-12)
   }
 
+  test("near freq carries SpanScorer sloppy weights (ordered + unordered enumeration)") {
+    import graft.exec.PhraseMatcher.nearFreq
+    // ordered: one chain a@0 → b@3, slack (3-0+1)-2 = 2 → 1/(1+2)
+    assert(math.abs(nearFreq(Array(Array(0), Array(3)), 5, inOrder = true) - 1.0 / 3) < 1e-12)
+    // unordered enumerates min-start windows (NearSpansUnordered): (a0,b1)
+    // slack 0 → 1.0, advance a → (a5,b1) slack 3 → 0.25; overlapping windows
+    // each count (the greedy matcher consumed both pointers after the first)
+    assert(math.abs(nearFreq(Array(Array(0, 5), Array(1)), 5, inOrder = false) - 1.25) < 1e-12)
+    // non-fitting windows advance without counting
+    assert(nearFreq(Array(Array(0), Array(10)), 3, inOrder = false) === 0.0)
+    // ordered chains too wide contribute nothing
+    assert(nearFreq(Array(Array(0), Array(10)), 3, inOrder = true) === 0.0)
+  }
+
   test("end-to-end: distributed sloppy phrase and matchDoc agree with the matcher") {
     val s = spark
     import s.implicits._
