@@ -754,6 +754,24 @@ class Searcher(val index: Index) extends Serializable {
       .groupBy("value").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
       .withColumnRenamed("value", field.replace('.', '_'))
 
+  /** Multi-field facets in ONE pass (the reference's `facets(query,
+    * *fields)` form, indexers.py:434-446): the matched docs join the doc
+    * store once, (field, value) pairs explode from a literal map, and one
+    * hash aggregate counts — N fields cost one shuffle, not N evaluations.
+    * Values surface as strings (mixed column types share one column);
+    * null-valued groups are kept, like [[facets]]. Fields must be doc-store
+    * columns — use [[facets]] for index-reconstructed component fields.
+    */
+  def facetsMulti(q: Query, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "facetsMulti needs at least one field")
+    val kv = fields.flatMap(f => Seq(lit(f), graft.index.Cols.qcol(f).cast("string")))
+    eval(q)
+      .join(index.docs.select((col("docId") +: fields.map(graft.index.Cols.qcol)): _*), "docId")
+      .select(explode(map(kv: _*)).as(Seq("field", "value")))
+      .groupBy("field", "value")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+  }
+
   /** Named sub-query intersection counts (facets query_map variant). */
   def facetQueries(q: Query, subs: Map[String, Query]): Map[String, Long] =
     subs.map { case (name, sub) => name -> count(Query.all(q, sub)) }

@@ -120,6 +120,28 @@ class LifecycleSpec extends SparkTestBase {
     assert(top.map(r => Option(r.getString(0))).toSet === Set(None, Some("en")))
   }
 
+  test("facetsMulti: N fields in one pass, null groups kept, matches per-field facets") {
+    val idx = IndexBuilder.build(corpus(
+      ("r", "q0", "c", null, "hello nulls"),
+      ("r", "q1", "c", "en", "hello there"),
+      ("s", "q2", "c", "en", "hello again")), schema, 2)
+    val s = new Searcher(idx)
+    val multi = s.facetsMulti(Term("content", "hello"), Seq("lang", "repo")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(multi === Set(
+      ("lang", None, 1L), ("lang", Some("en"), 2L),
+      ("repo", Some("r"), 2L), ("repo", Some("s"), 1L)))
+    // agreement with the single-field form
+    val perField = s.facets(Term("content", "hello"), "lang").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+    assert(perField === multi.collect { case ("lang", v, c) => v -> c })
+    // one pass: a single shuffle aggregate over the exploded map, no union
+    // of per-field evaluations
+    val plan = s.facetsMulti(Term("content", "hello"), Seq("lang", "repo"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan.take(800))
+  }
+
   test("groupBy returns whole groups when a top group is smaller than docsPerGroup") {
     // base: en docs {0,1} (hello...), de doc {2}; query 'world' matches 0 (en), 2 (de)
     val s = new Searcher(base)
