@@ -141,6 +141,111 @@ object Ann {
       .limit(k)
   }
 
+  /** Build an IVF (inverted-file) ANN index: a spherical k-means coarse
+    * quantizer over cosine geometry + per-centroid vector lists. Fully
+    * deterministic: centroids initialize from the k smallest ids and Lloyd
+    * iterations are exact distributed aggregations (per-partition
+    * float-sum accumulators via treeAggregate — no RNG, no sampling).
+    * The vectors land range-laid-out by centroid id so an nprobe query
+    * reads only the probed centroids' parquet files (min/max pruning) —
+    * the classic IVF serving shape, complementing the hyperplane-LSH
+    * variant ([[buildLshIndex]]) with a data-adaptive quantizer.
+    */
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(k)
+      .select("v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(normalized)
+    val dim = centroids.head.length
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val (sums, counts) = vecs.select(col("v")).as[Seq[Float]].rdd
+        .treeAggregate((Array.fill(centroids.length)(new Array[Double](dim)),
+          new Array[Long](centroids.length)))(
+          seqOp = { case ((s, n), v) =>
+            val c = nearestCentroid(v, bc.value)
+            var i = 0
+            while (i < dim && i < v.length) { s(c)(i) += v(i); i += 1 }
+            n(c) += 1
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var c = 0
+            while (c < s1.length) {
+              var i = 0
+              while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+              n1(c) += n2(c)
+              c += 1
+            }
+            (s1, n1)
+          })
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cluster keeps its centroid
+        else normalized(sums(c).map(_ / counts(c)))
+      }.toArray
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Float]) => if (v == null) -1 else nearestCentroid(v, bc.value))
+    df.withColumn("centroid", assign(col(vecCol)))
+      .repartitionByRange(col("centroid"))
+      .sortWithinPartitions("centroid")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Top-k against a [[buildIvf]] layout: rank centroids by cosine to the
+    * query (driver-side — k centroids are tiny), scan only the `nprobe`
+    * nearest lists (centroid filter pushed to the parquet scan), exact
+    * cosine re-rank. `nprobe = k` degrades gracefully to exact brute force.
+    */
+  def topkIvf(spark: org.apache.spark.sql.SparkSession, dir: String, idCol: String,
+      vecCol: String, query: Seq[Float], topk: Int, nprobe: Int = 1): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select("centroid", "center").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val q = normalized(query.map(_.toDouble).toArray)
+    val probes = centroids.sortBy { case (_, c) => -c.zip(q).map(x => x._1 * x._2).sum }
+      .take(math.max(1, nprobe)).map(_._1)
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("centroid").isin(probes.toSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), array(query.map(lit(_)): _*)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(topk)
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val s = math.sqrt(n)
+    if (s == 0.0) v else v.map(_ / s)
+  }
+
+  /** Argmax-cosine centroid for a vector (centroids are unit-normalized, so
+    * max dot = max cosine); ties break on the lower centroid id.
+    */
+  private def nearestCentroid(v: Seq[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(cent.length, v.length)
+      while (i < n) { d += cent(i) * v(i); i += 1 }
+      // normalize by |v| is unnecessary for argmax (same positive factor)
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Multi-probe bucket sequence (the perturbation-set heap of Qin et al.,
     * "Multi-Probe LSH", VLDB 2007): the query's own bucket, then buckets by
     * ascending summed margin of the flipped hyperplanes. Subsets are

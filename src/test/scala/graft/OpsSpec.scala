@@ -176,6 +176,47 @@ class OpsSpec extends SparkTestBase {
     assert(probed.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L))
   }
 
+  test("ann: IVF index — deterministic spherical k-means, nprobe pruning, exact at nprobe=k") {
+    val s = spark
+    import s.implicits._
+    // three well-separated direction clusters; ids 0/1/2 seed one per cluster
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f)), (4L, Seq(0.95f, -0.05f, 0.0f)),
+      (5L, Seq(0.1f, 0.9f, 0.0f)), (6L, Seq(-0.05f, 0.95f, 0.1f)),
+      (7L, Seq(0.0f, 0.1f, 0.9f)), (8L, Seq(0.1f, 0.0f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.buildIvf(emb, "vec_id", "embedding", k = 3, iters = 3, dir)
+    val q = Seq(1.0f, 0.05f, 0.0f)
+    // nprobe=1 scans ONE centroid's list and still finds the true top-3
+    // (they all live in the query's cluster)
+    val probed = Ann.topkIvf(spark, dir, "vec_id", "embedding", q, topk = 3, nprobe = 1)
+    val brute = Ann.topkBrute(emb, "vec_id", "embedding", q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed.collect().map(_.getLong(0)).toSeq === brute)
+    // the centroid filter reaches the parquet scan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("centroid"), plan.take(1200))
+    // nprobe = k degrades gracefully to exact brute force for any k
+    val all = Ann.topkIvf(spark, dir, "vec_id", "embedding", q, topk = 9, nprobe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all === Ann.topkBrute(emb, "vec_id", "embedding", q, 9).collect().map(_.getLong(0)).toSeq)
+    // deterministic: a rebuild yields identical assignments
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    Ann.buildIvf(emb, "vec_id", "embedding", k = 3, iters = 3, dir2)
+    val a1 = spark.read.parquet(s"$dir/vectors").select("vec_id", "centroid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = spark.read.parquet(s"$dir2/vectors").select("vec_id", "centroid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+    // the three clusters separate
+    assert(Set(a1(0L), a1(3L), a1(4L)).size === 1)
+    assert(Set(a1(1L), a1(5L), a1(6L)).size === 1)
+    assert(Set(a1(2L), a1(7L), a1(8L)).size === 1)
+    assert(Set(a1(0L), a1(1L), a1(2L)).size === 3)
+  }
+
   test("dedup: embedding-cosine near-dup via sign-bucket LSH + exact verify") {
     val s = spark
     import s.implicits._
