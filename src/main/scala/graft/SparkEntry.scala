@@ -230,14 +230,18 @@ object SparkEntry {
     // (exact in float — exponent bump only — so cosine and every hyperplane
     // sign are preserved bit-for-bit in both engines); LSH sign-bucket
     // candidates, exact cosine ≥ 0.999 verify. The corpus's natural max
-    // pairwise cosine is ~0.51, so exactly the 25 planted pairs survive.
+    // pairwise cosine is ~0.51, so exactly the 25 planted pairs survive —
+    // under ANY hyperplane set, since a true duplicate pair can never be
+    // separated by a sign cut. 8 hyperplanes ⇒ 256 buckets keeps the
+    // self-join candidate count ~N²/512 (bucket width is the LSH scale
+    // knob: H grows with log₂ N).
     "q_dedup_cosine" -> ((sp, dir) => {
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val planted = emb.select(col("vec_id"), col("embedding"))
         .unionAll(emb.filter(col("vec_id") < 25)
           .select((col("vec_id") + 10000).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-      val hp = emb.filter(col("vec_id").isin(1, 2, 3)).orderBy("vec_id")
+      val hp = emb.filter(col("vec_id").between(1, 8)).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0))
       graft.ops.Dedup.cosineNearDup(planted, "vec_id", "embedding", hp.toSeq, 0.999)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
@@ -492,17 +496,18 @@ object SparkEntry {
         s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
       val nrm = (a: String) =>
         s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-      def bucket(v: String) = (0 until 3)
+      def bucket(v: String) = (0 until 8)
         .map(i => s"(CASE WHEN ${dot(v, s"hp.h$i")} > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      val hpDefs = (0 until 8)
+        .map(i => s"(SELECT embedding FROM embeddings WHERE vec_id = ${i + 1}) AS h$i")
+        .mkString(",\n         ")
       s"""WITH planted AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
          |  FROM embeddings WHERE vec_id < 25
          |), hp AS (
-         |  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 1) AS h0,
-         |         (SELECT embedding FROM embeddings WHERE vec_id = 2) AS h1,
-         |         (SELECT embedding FROM embeddings WHERE vec_id = 3) AS h2
+         |  SELECT $hpDefs
          |), bux AS (
          |  SELECT p.vec_id, p.embedding, ${bucket("p.embedding")} AS bucket
          |  FROM planted p CROSS JOIN hp
