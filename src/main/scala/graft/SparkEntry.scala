@@ -165,6 +165,12 @@ object SparkEntry {
       searcher(sp, dir).facets(Term("content", "data"), "lang")
         .select(col("lang"), col("cnt"))
     }),
+    "q_facets_multi" -> ((sp, dir) => {
+      // N fields, ONE pass (explode of a literal field→value map + one
+      // hash aggregate) — the reference facets(query, *fields) form
+      searcher(sp, dir).facetsMulti(Term("content", "data"), Seq("lang", "repo"))
+        .select(col("field"), col("value"), col("cnt"))
+    }),
     "q_sort_nchars" -> ((sp, dir) => {
       searcher(sp, dir)
         .search(Term("content", "join"), 10, sorts = Seq(SortSpec("n_chars", descending = true)))
@@ -405,6 +411,13 @@ object SparkEntry {
       s"""$prelude SELECT c.lang, count(*) AS cnt
          |FROM corpus c JOIN (SELECT DISTINCT docid FROM tf WHERE term = 'data') m USING (docid)
          |GROUP BY 1""".stripMargin,
+    "q_facets_multi" ->
+      s"""$prelude, m AS (SELECT DISTINCT docid FROM tf WHERE term = 'data')
+         |SELECT 'lang' AS field, c.lang AS value, count(*) AS cnt
+         |FROM corpus c JOIN m USING (docid) GROUP BY 2
+         |UNION ALL
+         |SELECT 'repo' AS field, c.repo AS value, count(*) AS cnt
+         |FROM corpus c JOIN m USING (docid) GROUP BY 2""".stripMargin,
     "q_sort_nchars" ->
       s"""$prelude SELECT c.docid, c.n_chars
          |FROM corpus c JOIN (SELECT DISTINCT docid FROM tf WHERE term = 'join') m USING (docid)

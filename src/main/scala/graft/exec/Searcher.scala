@@ -96,21 +96,33 @@ class Searcher(val index: Index) extends Serializable {
   /** docFreq fast path: O(dictionary lookup), no postings scan
     * (reference count 2-arg fast path, indexers.py:390-399).
     */
-  def docFreq(field: String, term: String): Long = {
-    val rows = index.termDict
-      .filter(col("field") === field && col("term") === term)
-      .select("docFreq").collect()
-    if (rows.isEmpty) 0L else rows(0).getLong(0)
-  }
+  def docFreq(field: String, term: String): Long =
+    termStats(field, Seq(term)).get(term).map(_._1).getOrElse(0L)
 
-  /** Collect (docFreq, totalTermFreq) for a small set of query terms. */
-  def termStats(field: String, terms: Seq[String]): Map[String, (Long, Long)] =
-    index.termDict
-      .filter(col("field") === field && col("term").isin(terms.distinct: _*))
-      .select("term", "docFreq", "totalTermFreq")
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+  /** Collect (docFreq, totalTermFreq) for a small set of query terms.
+    * Memoized per (field, term) on the driver: term statistics are immutable
+    * for an index view (tombstones deliberately do not change them, like
+    * pre-merge Lucene), so repeated query terms skip the dictionary job.
+    * Negative lookups cache too (absent terms are common in fuzzy/spell).
+    */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[(Long, Long)]]
+
+  def termStats(field: String, terms: Seq[String]): Map[String, (Long, Long)] = {
+    val distinct = terms.distinct
+    val missing = distinct.filterNot(t => statsCache.contains((field, t)))
+    if (missing.nonEmpty) {
+      if (statsCache.size > 65536) statsCache.clear() // bounded driver memory
+      val found = index.termDict
+        .filter(col("field") === field && col("term").isin(missing: _*))
+        .select("term", "docFreq", "totalTermFreq")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      missing.foreach(t => statsCache.put((field, t), found.get(t)))
+    }
+    distinct.flatMap(t => statsCache((field, t)).map(t -> _)).toMap
+  }
 
   /** Numeric docvalue view of a column: timestamps (incl. NTZ, read as UTC —
     * the session timezone) become epoch seconds, matching the reference's
@@ -372,7 +384,21 @@ class Searcher(val index: Index) extends Serializable {
     */
   private[graft] var maxRareDriverBlocks = 4096
 
+  /** Memoized per (field, term): the rare term's block ranges are immutable
+    * for an index view, so repeated conjunctive/positional queries skip the
+    * bounded driver fetch (bust the cache by constructing a new Searcher —
+    * which every index mutation already does).
+    */
+  private val prunerCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame => DataFrame]
+
   private def rareCoveragePruner(field: String, rareTerm: String): DataFrame => DataFrame = {
+    if (prunerCache.size > 4096) prunerCache.clear() // bounded driver memory
+    prunerCache.getOrElseUpdate((field, rareTerm, maxRareDriverBlocks),
+      computeRarePruner(field, rareTerm))
+  }
+
+  private def computeRarePruner(field: String, rareTerm: String): DataFrame => DataFrame = {
     val maxDriverBlocks = maxRareDriverBlocks
     val few = index.blocks
       .filter(col("field") === field && col("term") === rareTerm)
@@ -730,6 +756,24 @@ class Searcher(val index: Index) extends Serializable {
   }
 
   def count(q: Query): Long = eval(q).count()
+
+  /** Stored document by id (reference `searcher[id]`, indexers.py Document
+    * access): the doc-store row with docvalue updates applied, None for an
+    * unknown or tombstoned id. `fields` selects columns (Hits.select-style
+    * late materialization); empty = all stored columns.
+    */
+  def doc(docId: Long, fields: Seq[String] = Nil): Option[org.apache.spark.sql.Row] = {
+    if (index.deletes.exists(d => !d.filter(col("docId") === docId).isEmpty)) return None
+    val base = index.docs.filter(col("docId") === docId)
+    val projected =
+      if (fields.isEmpty) base else base.select(fields.map(graft.index.Cols.qcol): _*)
+    projected.collect().headOption
+  }
+
+  /** Whether a live (non-tombstoned) doc with this id exists (reference
+    * `id in searcher`).
+    */
+  def contains(docId: Long): Boolean = doc(docId, Seq("docId")).isDefined
 
   /** (docId, value) pairs of an indexed field — docvalues reconstructed from
     * the postings themselves (used for component fields that are not doc

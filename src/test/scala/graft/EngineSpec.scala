@@ -190,6 +190,17 @@ class EngineSpec extends SparkTestBase {
       minTermFreq = 2, minDocFreq = 1) === Q.any(Term("content", "hello")))
   }
 
+  test("doc/contains: stored-row access with tombstone awareness (searcher[id])") {
+    assert(searcher.contains(0L))
+    assert(searcher.doc(0L).get.getAs[String]("content") === "hello world hello")
+    assert(searcher.doc(0L, Seq("path")).get.getString(0) === "p0")
+    assert(searcher.doc(99L).isEmpty && !searcher.contains(99L))
+    // tombstoned ids read as absent (liveDocs semantics)
+    val deleted = searcher.delete(Term("content", "goodbye"))
+    assert(!deleted.contains(3L) && deleted.doc(3L).isEmpty)
+    assert(deleted.contains(0L))
+  }
+
   test("totalHits relation: int when exact, float when a lower-bound estimate") {
     // 'world' matches 3 docs: a generous threshold counts exactly
     val exact = searcher.totalHits(Term("content", "world"), threshold = 100)
