@@ -110,18 +110,23 @@ class Searcher(val index: Index) extends Serializable {
 
   def termStats(field: String, terms: Seq[String]): Map[String, (Long, Long)] = {
     val distinct = terms.distinct
-    val missing = distinct.filterNot(t => statsCache.contains((field, t)))
-    if (missing.nonEmpty) {
-      if (statsCache.size > 65536) statsCache.clear() // bounded driver memory
-      val found = index.termDict
+    // resolve from the cache FIRST: the size-bound clear below must never
+    // invalidate entries this call already relies on
+    val cached = distinct.flatMap(t => statsCache.get((field, t)).map(t -> _)).toMap
+    val missing = distinct.filterNot(cached.contains)
+    val found: Map[String, (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else index.termDict
         .filter(col("field") === field && col("term").isin(missing: _*))
         .select("term", "docFreq", "totalTermFreq")
         .collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
+    if (missing.nonEmpty) {
+      if (statsCache.size > 65536) statsCache.clear() // bounded driver memory
       missing.foreach(t => statsCache.put((field, t), found.get(t)))
     }
-    distinct.flatMap(t => statsCache((field, t)).map(t -> _)).toMap
+    cached.collect { case (t, Some(v)) => t -> v } ++ found
   }
 
   /** Numeric docvalue view of a column: timestamps (incl. NTZ, read as UTC —
