@@ -45,6 +45,9 @@ object PlanProbe {
     probe("facets", s.facets(Term("content","parse"), "lang"))
     probe("groupby (no global window)", s.groupBy("lang", Term("content","parse"), groups = 2))
     probe("sorted", s.search(Term("content","parse"), 10, sorts=Seq(graft.exec.SortSpec("lang"))))
+    probe("fuzzy (trigram-prefiltered expansion)", s.search(Fuzzy("content","mergebatch",1), 10))
+    probe("facets_multi (one pass, N fields)",
+      s.facetsMulti(Term("content","parse"), Seq("lang","repo")))
     println(s.search(Term("content","parse"), 10).queryExecution.executedPlan.toString
       .linesIterator.take(30).mkString("\n"))
     spark.stop()

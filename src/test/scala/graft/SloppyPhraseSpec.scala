@@ -60,6 +60,34 @@ class SloppyPhraseSpec extends SparkTestBase {
     assert(nearFreq(Array(Array(0), Array(10)), 3, inOrder = true) === 0.0)
   }
 
+  test("matcher invariants: slop-monotone and shift-invariant (120 random shapes)") {
+    val rnd = new scala.util.Random(42L)
+    def randLists(n: Int): Array[Array[Int]] =
+      Array.fill(n)(Array.fill(1 + rnd.nextInt(5))(rnd.nextInt(30)).distinct.sorted)
+    (1 to 120).foreach { _ =>
+      val n = 2 + rnd.nextInt(3)
+      val lists = randLists(n)
+      val offs = Array.tabulate(n)(identity)
+      val terms = Array.tabulate(n)(i => if (rnd.nextInt(4) == 0) 0 else i) // some repeats
+      val shift = rnd.nextInt(50)
+      for (slop <- 1 until 6) {
+        val a = PhraseMatcher.phraseFreq(lists, slop, offs, terms)
+        // the window enumeration is slop-independent; only the ≤ slop gate
+        // changes, so freq is monotone in slop…
+        assert(a <= PhraseMatcher.phraseFreq(lists, slop + 1, offs, terms) + 1e-12)
+        // …and invariant under a uniform position shift
+        val shifted = lists.map(_.map(_ + shift))
+        assert(math.abs(a - PhraseMatcher.phraseFreq(shifted, slop, offs, terms)) < 1e-12)
+        val u = PhraseMatcher.nearFreq(lists, slop, inOrder = false)
+        assert(u <= PhraseMatcher.nearFreq(lists, slop + 1, inOrder = false) + 1e-12)
+        assert(math.abs(u - PhraseMatcher.nearFreq(shifted, slop, inOrder = false)) < 1e-12)
+        val o = PhraseMatcher.nearFreq(lists, slop, inOrder = true)
+        assert(o <= PhraseMatcher.nearFreq(lists, slop + 1, inOrder = true) + 1e-12)
+        assert(math.abs(o - PhraseMatcher.nearFreq(shifted, slop, inOrder = true)) < 1e-12)
+      }
+    }
+  }
+
   test("end-to-end: distributed sloppy phrase and matchDoc agree with the matcher") {
     val s = spark
     import s.implicits._
