@@ -780,6 +780,20 @@ class Searcher(val index: Index) extends Serializable {
     */
   def contains(docId: Long): Boolean = doc(docId, Seq("docId")).isDefined
 
+  /** Register the index tables as temp views so ad-hoc `spark.sql` joins
+    * against engine state compose with the query API: `<prefix>_docs` (doc
+    * store incl. docvalues), `<prefix>_terms` (dictionary with docFreq /
+    * totalTermFreq), `<prefix>_postings` (compressed block metadata —
+    * blobs excluded so SELECT * stays cheap).
+    */
+  def registerViews(prefix: String = "graft"): Unit = {
+    index.docs.createOrReplaceTempView(s"${prefix}_docs")
+    index.termDict.createOrReplaceTempView(s"${prefix}_terms")
+    index.blocks.toDF()
+      .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf")
+      .createOrReplaceTempView(s"${prefix}_postings")
+  }
+
   /** (docId, value) pairs of an indexed field — docvalues reconstructed from
     * the postings themselves (used for component fields that are not doc
     * columns, e.g. NestedField parts).

@@ -201,6 +201,22 @@ class EngineSpec extends SparkTestBase {
     assert(deleted.contains(0L))
   }
 
+  test("registerViews: index tables compose with ad-hoc spark.sql") {
+    searcher.registerViews("g")
+    assert(spark.sql("SELECT count(*) FROM g_docs").collect()(0).getLong(0) === 4L)
+    val df = spark.sql(
+      "SELECT term, docFreq FROM g_terms WHERE field = 'content' AND term = 'hello'")
+      .collect()(0)
+    assert(df.getString(0) === "hello" && df.getLong(1) === 2L)
+    // engine results join back to SQL state (docvalue columns)
+    val hits = searcher.search(Term("content", "hello"), 10)
+    hits.createOrReplaceTempView("g_hits")
+    val langs = spark.sql(
+      "SELECT d.lang, count(*) FROM g_hits h JOIN g_docs d USING (docId) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs === Map("en" -> 2L))
+  }
+
   test("totalHits relation: int when exact, float when a lower-bound estimate") {
     // 'world' matches 3 docs: a generous threshold counts exactly
     val exact = searcher.totalHits(Term("content", "world"), threshold = 100)
