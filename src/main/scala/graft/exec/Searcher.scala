@@ -1,6 +1,6 @@
 package graft.exec
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
 import graft.index.{Index, Posting, PostingBlock, PostingCodec}
@@ -851,35 +851,69 @@ class Searcher(val index: Index) extends Serializable {
     */
   def groupBy(field: String, q: Query, groups: Int = 10, docsPerGroup: Int = 1,
       byValue: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
     val scored = eval(q).join(fieldValues(field), "docId")
-    // Per-group stats via ONE aggregate (map-side partial combine); group
-    // rank = the group's best (score, docId) hit — Lucene relevance group
-    // sort incl. the docId tie-break. NO global window anywhere (an
-    // unpartitioned dense_rank would sort every group on ONE task — the
-    // round-1 scale-killer), and the per-doc window only runs over the docs
-    // of the SURVIVING groups (semi-join prunes first). Both the aggregate
-    // and the window shuffle `scored` by value, so the exchange is reused.
-    val grpStats = scored.groupBy(col("value")).agg(
-      min(struct((col("score") * -1).as("ns"), col("docId"))).as("groupOrd"),
-      org.apache.spark.sql.functions.count(lit(1)).as("groupCount"))
-    val statKey = if (byValue) col("value") else col("groupOrd")
-    // TakeOrdered over one row per group — whole groups survive (a plain row
-    // limit on docs would truncate mid-group)
-    val top = if (groups > 0) grpStats.orderBy(statKey.asc).limit(groups) else grpStats
-    // ONE join does both the pruning to surviving groups and the stats
-    // attach (top has one row per value, so the inner join preserves doc
-    // cardinality); NULL-SAFE equality keeps the null-valued group — a plain
-    // equi-join would silently drop it (the old window path kept it).
-    val statsSide = (if (groups > 0) broadcast(top) else top)
-      .withColumnRenamed("value", "__gv")
-    val wOrd = Window.partitionBy(col("value")).orderBy(col("score").desc, col("docId").asc)
-    scored.join(statsSide, col("value") <=> col("__gv")).drop("__gv")
-      .withColumn("rn", row_number().over(wOrd))
-      .filter(col("rn") <= docsPerGroup)
-      .orderBy((if (byValue) col("value") else col("groupOrd")).asc, col("rn").asc)
+      .select(col("docId"), col("score"), col("value"))
+    // ONE shuffle of the scored docs by group value; each group streams
+    // through a BOUNDED top-N heap (docsPerGroup candidates + a count) —
+    // no second evaluation of the scored set, no window, no broadcast
+    // join-back (the round-2 plan shuffled `scored` twice: group-stats
+    // aggregate + per-doc window). A hot group still streams one task, like
+    // the window did, but with O(docsPerGroup) memory. Group rank = the
+    // group's best (score, docId) hit — Lucene relevance group sort incl.
+    // the docId tie-break — or the group value (Sort(sortfield) mode);
+    // `groups <= 0` returns ALL groups (allGroups=True). The null-valued
+    // group survives by construction (it is just another key).
+    val valueType = scored.schema("value").dataType
+    val outSchema = StructType(Seq(
+      StructField("value", valueType, nullable = true),
+      StructField("groupCount", LongType, nullable = false),
+      StructField("top", ArrayType(StructType(Seq(
+        StructField("docId", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = false))), containsNull = false),
+        nullable = false)))
+    val n = math.max(1, docsPerGroup)
+    val perGroup = scored
+      .groupByKey(r => if (r.isNullAt(2)) null else r.get(2).toString)(
+        org.apache.spark.sql.Encoders.STRING)
+      .mapGroups { (_, rows) =>
+        var value: Any = null
+        var gotValue = false
+        var count = 0L
+        // worst candidate on top: evict when a better (score desc, docId asc)
+        // doc arrives
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by((x: (Double, Long)) => (x._1, -x._2)).reverse)
+        rows.foreach { r =>
+          if (!gotValue) { value = if (r.isNullAt(2)) null else r.get(2); gotValue = true }
+          count += 1
+          val cand = (r.getDouble(1), r.getLong(0))
+          if (pq.size < n) pq.enqueue(cand)
+          else {
+            val worst = pq.head
+            if (cand._1 > worst._1 || (cand._1 == worst._1 && cand._2 < worst._2)) {
+              pq.dequeue()
+              pq.enqueue(cand)
+            }
+          }
+        }
+        val top = pq.toArray.sortBy(x => (-x._1, x._2)).map(x => Row(x._2, x._1)).toSeq
+        Row(value, count, top)
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    // whole groups survive the limit (TakeOrdered over one row per group)
+    val gord =
+      if (byValue) col("value")
+      else struct((col("top")(0).getField("score") * -1).as("ns"),
+        col("top")(0).getField("docId"))
+    val ranked = perGroup.withColumn("__gord", gord).orderBy(col("__gord").asc)
+    val limited = if (groups > 0) ranked.limit(groups) else ranked
+    limited
+      .select(col("value"), col("groupCount"), col("__gord"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .orderBy(col("__gord").asc, col("pos").asc)
       .select(col("value").as(field.replace('.', '_')), col("groupCount"),
-        col("docId"), col("score"), col("rn"))
+        col("t.docId").as("docId"), col("t.score").as("score"),
+        (col("pos") + 1).as("rn"))
   }
 
   /** Tombstone every doc matching the query; returns a searcher over the
