@@ -109,8 +109,42 @@ object TextOps {
   /** k-min-hash document fingerprint: the k lexicographically smallest
     * md5(shingle) values, joined — a deterministic, SQL-mirrorable stand-in
     * for rolling-hash winnowing (same selectivity shape: content-defined,
-    * local-edit tolerant).
+    * local-edit tolerant). One compiled pass over the token array (the
+    * transform+md5 expression form is interpreted per shingle and
+    * re-allocates; this shingles, hashes, and selects in a single UDF with
+    * one reused digest).
     */
-  def fingerprint(text: Column, n: Int = 3, k: Int = 4): Column =
-    concat_ws(",", slice(array_sort(transform(shingles(text, n), s => md5(s))), 1, k))
+  def fingerprint(text: Column, n: Int = 3, k: Int = 4): Column = {
+    val f = udf((toks: Seq[String]) => {
+      if (toks == null || toks.length < n) ""
+      else {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val hexTable = "0123456789abcdef".toCharArray
+        val out = new Array[String](toks.length - n + 1)
+        var i = 0
+        while (i + n <= toks.length) {
+          digest.reset()
+          var j = i
+          while (j < i + n) {
+            if (j > i) digest.update(' '.toByte)
+            digest.update(toks(j).getBytes("UTF-8"))
+            j += 1
+          }
+          val bytes = digest.digest()
+          val hex = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            hex(b * 2) = hexTable((bytes(b) >> 4) & 0xf)
+            hex(b * 2 + 1) = hexTable(bytes(b) & 0xf)
+            b += 1
+          }
+          out(i) = new String(hex)
+          i += 1
+        }
+        java.util.Arrays.sort(out.asInstanceOf[Array[AnyRef]])
+        out.take(k).mkString(",")
+      }
+    })
+    f(tokens(text))
+  }
 }
