@@ -50,6 +50,16 @@ object Searcher {
     * on the surviving sliver of a large dictionary (Lucene walks a
     * Levenshtein automaton in O(matches); this is the set-filter equivalent).
     */
+  /** Canonical string key for a group value: value types hash by content —
+    * in particular byte arrays (binary docvalues), whose toString is
+    * identity-based and would split equal values into distinct groups.
+    */
+  private[exec] def groupKey(v: Any): String = v match {
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: scala.collection.Seq[_] => s.map(groupKey).mkString("[", ",", "]")
+    case x => String.valueOf(x)
+  }
+
   /** Padded trigrams of a term — see [[graft.index.TermGrams.padGrams]]. */
   private[graft] def padGrams(s: String): Seq[String] =
     graft.index.TermGrams.padGrams(s)
@@ -826,10 +836,11 @@ class Searcher(val index: Index) extends Serializable {
     * columns — use [[facets]] for index-reconstructed component fields.
     */
   def facetsMulti(q: Query, fields: Seq[String]): DataFrame = {
-    require(fields.nonEmpty, "facetsMulti needs at least one field")
-    val kv = fields.flatMap(f => Seq(lit(f), graft.index.Cols.qcol(f).cast("string")))
+    val fs = fields.distinct // duplicate names would collide as map keys
+    require(fs.nonEmpty, "facetsMulti needs at least one field")
+    val kv = fs.flatMap(f => Seq(lit(f), graft.index.Cols.qcol(f).cast("string")))
     eval(q)
-      .join(index.docs.select((col("docId") +: fields.map(graft.index.Cols.qcol)): _*), "docId")
+      .join(index.docs.select((col("docId") +: fs.map(graft.index.Cols.qcol)): _*), "docId")
       .select(explode(map(kv: _*)).as(Seq("field", "value")))
       .groupBy("field", "value")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
@@ -874,7 +885,7 @@ class Searcher(val index: Index) extends Serializable {
         nullable = false)))
     val n = math.max(1, docsPerGroup)
     val perGroup = scored
-      .groupByKey(r => if (r.isNullAt(2)) null else r.get(2).toString)(
+      .groupByKey(r => if (r.isNullAt(2)) null else Searcher.groupKey(r.get(2)))(
         org.apache.spark.sql.Encoders.STRING)
       .mapGroups { (_, rows) =>
         var value: Any = null

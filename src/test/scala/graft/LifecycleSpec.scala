@@ -120,6 +120,20 @@ class LifecycleSpec extends SparkTestBase {
     assert(top.map(r => Option(r.getString(0))).toSet === Set(None, Some("en")))
   }
 
+  test("groupBy on a binary docvalue groups by content, not array identity") {
+    val s0 = spark
+    import s0.implicits._
+    val src = Seq(
+      ("r", "b0", "c", "x", "hello one", Array[Byte](1, 2)),
+      ("r", "b1", "c", "x", "hello two", Array[Byte](1, 2)), // equal CONTENT, distinct array
+      ("r", "b2", "c", "x", "hello three", Array[Byte](9)))
+      .toDF("repo", "path", "commit", "lang", "content", "blob")
+    val g = new Searcher(IndexBuilder.build(src, schema, 2))
+      .groupBy("blob", Term("content", "hello"), groups = 0, docsPerGroup = 3).collect()
+    val counts = g.map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1))).distinct.toSet
+    assert(counts === Set((Seq[Byte](1, 2), 2L), (Seq[Byte](9), 1L)))
+  }
+
   test("facetsMulti: N fields in one pass, null groups kept, matches per-field facets") {
     val idx = IndexBuilder.build(corpus(
       ("r", "q0", "c", null, "hello nulls"),
