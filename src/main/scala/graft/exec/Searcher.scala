@@ -1110,6 +1110,20 @@ class Searcher(val index: Index) extends Serializable {
   def docLengths(field: String): DataFrame =
     postings(field, "").toDF().select(col("docId"), col("dlq"))
 
+  /** Per-live-doc docvalues of a column in docId order (reference
+    * `searcher.docvalues(name, type)`, tests/test_engine.py:687-693 —
+    * string/numeric/array-valued columns all ride the doc store here, so
+    * one surface covers binary/numeric/sorted/sorted_set/sorted_numeric).
+    * Reflects docvalue-update generations; tombstoned docs are skipped.
+    */
+  def docvalues(field: String): DataFrame = {
+    val base = index.deletes match {
+      case None    => index.docs
+      case Some(d) => index.docs.join(d, Seq("docId"), "left_anti")
+    }
+    base.select(col("docId"), graft.index.Cols.qcol(field).as("value")).orderBy("docId")
+  }
+
   /** Autocomplete: top-k prefix terms by docFreq (indexers.py:162-165). */
   def complete(field: String, prefix: String, k: Int = 10): DataFrame =
     index.termDict

@@ -367,6 +367,17 @@ final class Indexer(
   /** Re-resolve the serving view; for NRT, also capture the current buffer
     * as the new point-in-time overlay (Lucene NRT reopen).
     */
+  /** Committed segments: segmentId → docs indexed (reference
+    * `indexer.segments`, tests/test_engine.py:673,684 — observable proof
+    * that docvalue-only updates do NOT write segments).
+    */
+  def segments: Map[Int, Long] = {
+    if (!fs.exists(new Path(s"$dir/segments"))) return Map.empty
+    spark.read.parquet(s"$dir/segments")
+      .groupBy("segmentId").agg(max("docsIndexed").as("d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
   def refresh(): Unit = {
     if (nrt) { nrtBuf = buf.toList; nrtDeletes = pendingDeletes.toList }
     cachedSearcher = None

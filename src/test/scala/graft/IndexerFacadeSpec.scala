@@ -145,6 +145,29 @@ class IndexerFacadeSpec extends SparkTestBase {
     assert(w.searcher.docFreq("content", "alpha") === 2L)
   }
 
+  test("docvalues iterator + segments surface (test_engine.py:629-701 shape)") {
+    val dir = Files.createTempDirectory("graft-dvsurf").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en",
+      "content" -> "zero", "note" -> "low")
+    w.commit()
+    val segs = w.segments
+    assert(segs.values.sum === 1L)
+    // docvalue-only update: values change, NO new segment (the reference's
+    // `indexer.segments != segments` vs `==` distinction)
+    w.updateDocValues(Term("content", "zero"), "note" -> "high")
+    assert(w.segments === segs)
+    assert(w.searcher.docvalues("note").collect().map(_.getString(1)).toSeq === Seq("high"))
+    // a real update (delete + re-add) DOES advance the segments
+    w.update(Term("content", "zero"), "repo" -> "r", "path" -> "p0", "commit" -> "c2",
+      "lang" -> "en", "content" -> "one", "note" -> "mid")
+    w.commit()
+    assert(w.segments !== segs)
+    // docvalues skip tombstoned docs and follow docId order
+    val dv = w.searcher.docvalues("note").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(dv.length === 1 && dv(0)._2 === "mid")
+  }
+
   test("broad-match docvalues update stays distributed; generations fold latest-wins") {
     val dir = Files.createTempDirectory("graft-dvbroad").toString
     val w = new Indexer(spark, dir, idxSchema, srcSchema)
