@@ -16,7 +16,10 @@ import graft.util.SmallFloat
   */
 class PropertySpec extends SparkTestBase {
 
-  val rnd = new scala.util.Random(20260816L)
+  // fixed seed for CI reproducibility; override for stress sweeps with
+  // GRAFT_PROP_SEED (and GRAFT_PROP_N for the query count)
+  val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_PROP_SEED", "20260816").toLong)
+  val numQueries: Int = sys.env.getOrElse("GRAFT_PROP_N", "150").toInt
   val vocab: Vector[String] = Vector(
     "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
     "iota", "kappa", "the", "of", "and", "scan", "merge", "join")
@@ -238,7 +241,7 @@ class PropertySpec extends SparkTestBase {
     searcher // force build once
     var checked = 0
     var nonEmpty = 0
-    (1 to 150).foreach { i =>
+    (1 to numQueries).foreach { i =>
       val q = gen(3)
       val expected = normalize(LocalRef.eval(q))
       val rows = searcher.search(q, 0).collect().map(r => r.getLong(0) -> r.getDouble(1))
@@ -249,7 +252,7 @@ class PropertySpec extends SparkTestBase {
       checked += 1
       if (expected.nonEmpty) nonEmpty += 1
     }
-    assert(checked === 150)
-    assert(nonEmpty > 100, s"only $nonEmpty non-empty results — generator too weak")
+    assert(checked === numQueries)
+    assert(nonEmpty > numQueries * 2 / 3, s"only $nonEmpty non-empty results — generator too weak")
   }
 }
