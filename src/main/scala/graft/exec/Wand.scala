@@ -96,6 +96,9 @@ object Wand {
     */
   def topkPartition(termBlocks: Seq[(Double, Array[PostingBlock])], avgdl: Double,
       k: Int): (Array[(Long, Double)], Long) = {
+    // k == 0 would make the heap "full" while empty and theta undefined;
+    // all-hits queries take the exhaustive path (Searcher.search k <= 0)
+    require(k > 0, s"WAND needs k > 0 (got $k) — use exhaustive scoring for all-hits")
     val cursors = termBlocks.filter(_._2.nonEmpty)
       .map { case (w, bs) => new Cursor(w, avgdl, bs) }.toArray
     if (cursors.isEmpty) return (Array.empty, 0L)
