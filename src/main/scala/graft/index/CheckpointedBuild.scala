@@ -78,7 +78,9 @@ object CheckpointedBuild {
     // Stage 3: derived term dictionary + stats + manifest.
     val blocks = {
       import spark.implicits._
-      IndexBuilder.withBlobDefaults(spark.read.parquet(s"$dir/postings"))
+      // schema-merged read: a resumed build may mix segments written by a
+      // pre-payloads layout with fresh ones (see IndexBuilder.readPostings)
+      IndexBuilder.readPostings(spark, s"$dir/postings")
         .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
           "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob", "offsetsBlob")
         .as[PostingBlock]
