@@ -181,13 +181,26 @@ object Bench {
     SparkEntry.clearCache()
 
     // --- build throughput + scaling (local[N] vs local[4N]) -------------
+    // ≥3 INTERLEAVED N/4N pairs, median ratio reported: a single pair whose
+    // N-leg ran under transient machine load reads as efficiency > 1 (the
+    // BENCH_r03 artifact); the median of interleaved pairs + a loadavg stamp
+    // per pair lets a reader see and discount contended runs.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-    val (rate8, rate32, eff) =
+    val scalePairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val (rate8, rate32, eff, pairStats) =
       if (doScaling) {
-        val rN = buildRate(scaleN, benchDocs)
-        val r4N = buildRate(scaleN * 4, benchDocs)
-        (rN, r4N, (r4N / rN) / 4.0)
-      } else (0.0, 0.0, 0.0)
+        val pairs = (1 to scalePairs).map { _ =>
+          val la = loadavg
+          val rN = buildRate(scaleN, benchDocs)
+          val r4N = buildRate(scaleN * 4, benchDocs)
+          (rN, r4N, (r4N / rN) / 4.0, la)
+        }
+        val medianEff = pairs.map(_._3).sorted.apply(pairs.length / 2)
+        val med = pairs.minBy(p => math.abs(p._3 - medianEff)) // the median pair's rates
+        (med._1, med._2, medianEff, pairs)
+      } else (0.0, 0.0, 0.0, Seq.empty[(Double, Double, Double, Double)])
 
     val total = cold.map(_._2).sum
     def fmtMap(m: Seq[(String, Double)]): String =
@@ -217,6 +230,10 @@ object Bench {
       json.append(s""","build_docs_per_sec_local$scaleN":${num(rate8, 1)}""")
       json.append(s""","build_docs_per_sec_local${scaleN * 4}":${num(rate32, 1)}""")
       json.append(s""","scaling_efficiency_${scaleN}_to_${scaleN * 4}":${num(eff, 3)}""")
+      // per-pair evidence: efficiency of every interleaved pair + the 1-min
+      // loadavg sampled before each (readers discount loaded runs)
+      json.append(s""","scaling_pair_efficiencies":[${pairStats.map(p => num(p._3, 3)).mkString(",")}]""")
+      json.append(s""","scaling_pair_loadavg":[${pairStats.map(p => num(p._4, 2)).mkString(",")}]""")
     }
     if (errors.nonEmpty) {
       def qesc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

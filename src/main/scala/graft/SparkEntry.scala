@@ -86,6 +86,20 @@ object SparkEntry {
   /** Hot-bucket cap exercised by q_dedup_minhash_capped (both sides). */
   val MinhashCap = 2
 
+  private val cleanupRegistered = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Delete `path` recursively at JVM exit (registered once per path). */
+  private def cleanupOnExit(path: String): Unit =
+    cleanupRegistered.getOrElseUpdate(path, {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+    })
+
   /** The minhash near-dup pipeline shared by the capped/uncapped contract
     * queries: plant duplicates → shingles → md5 minhash → LSH candidates
     * (optionally hot-bucket-capped) → Jaccard verify ≥ 0.5.
@@ -110,6 +124,10 @@ object SparkEntry {
       .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
     val sigDir = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-" +
       s"${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+    // the returned plan reads sigDir lazily, so it cannot be deleted inline;
+    // a (deduped) shutdown hook reclaims it when the JVM exits instead of
+    // accumulating one copy per benchmark process
+    SparkEntry.cleanupOnExit(sigDir)
     sig.write.mode("overwrite").parquet(sigDir)
     val sh = sp.read.parquet(sigDir)
     val cand = graft.ops.Dedup.lshCandidates(sh, "doc_id", "sig", bands = 4, maxBucketSize)

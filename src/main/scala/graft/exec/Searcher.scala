@@ -133,7 +133,11 @@ class Searcher(val index: Index) extends Serializable {
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
     if (missing.nonEmpty) {
-      if (statsCache.size > 65536) statsCache.clear() // bounded driver memory
+      // bounded driver memory: shed HALF instead of clearing, so a workload
+      // cycling around the bound keeps a warm working set rather than
+      // thrashing from zero (reads above resolved before any shed)
+      if (statsCache.size > 65536)
+        statsCache.keysIterator.take(statsCache.size / 2).foreach(statsCache.remove)
       missing.foreach(t => statsCache.put((field, t), found.get(t)))
     }
     cached.collect { case (t, Some(v)) => t -> v } ++ found
@@ -275,9 +279,25 @@ class Searcher(val index: Index) extends Serializable {
     * termDict and pins it on first fuzzy use.
     */
   private lazy val termGrams: DataFrame = index.termGrams.getOrElse {
-    graft.index.TermGrams.of(index.termDict)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared bounded cache — see TermGrams.cachedOf (one pinned copy per
+    // dictionary instance, evicted+unpersisted when superseded)
+    graft.index.TermGrams.cachedOf(index.termDict)
   }
+
+  /** Cost gate for the trigram prefilter when NO stored `termgrams/` layout
+    * exists: deriving and aggregating the grams index costs a job that at
+    * small dictionaries (≲10⁶ terms) exceeds the full pushed-down
+    * length-window dictionary scan it replaces — the prefilter is a win only
+    * once the dictionary is big enough that a scan per fuzzy query dominates.
+    * A stored layout always routes through the grams index (the lookup is
+    * |grams(q)| pushed-down point reads, cheap at every scale). Tunable for
+    * tests and unusual corpora.
+    */
+  var fuzzyGramMinDictSize: Long = 1000000L
+
+  // one count job, memoized; parquet-backed dictionaries answer from footer
+  // metadata. Only consulted on the derived-grams path.
+  private lazy val dictTermCount: Long = index.termDict.count()
 
   /** Dictionary view narrowed by the q-gram count filter: a term within
     * (restricted-Damerau) distance k of `q` loses at most q+1 = 4 gram
@@ -294,7 +314,9 @@ class Searcher(val index: Index) extends Serializable {
   private def fuzzyPrefiltered(field: String, q: String, maxEdits: Int): DataFrame = {
     val qg = Searcher.padGrams(q)
     val t = qg.length - 4 * maxEdits
-    if (t < 1) index.termDict
+    val gramsWorthIt =
+      index.termGrams.isDefined || dictTermCount >= fuzzyGramMinDictSize
+    if (t < 1 || !gramsWorthIt) index.termDict
     else {
       val cand = termGrams
         .filter(col("field") === field && col("gram").isin(qg: _*))
@@ -408,7 +430,8 @@ class Searcher(val index: Index) extends Serializable {
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame => DataFrame]
 
   private def rareCoveragePruner(field: String, rareTerm: String): DataFrame => DataFrame = {
-    if (prunerCache.size > 4096) prunerCache.clear() // bounded driver memory
+    if (prunerCache.size > 4096) // bounded driver memory: shed half, keep a warm set
+      prunerCache.keysIterator.take(prunerCache.size / 2).foreach(prunerCache.remove)
     prunerCache.getOrElseUpdate((field, rareTerm, maxRareDriverBlocks),
       computeRarePruner(field, rareTerm))
   }
@@ -712,13 +735,36 @@ class Searcher(val index: Index) extends Serializable {
     * groupBy, non-competitive blocks never decoded.
     */
   def searchWand(field: String, weightedTerms: Seq[(String, Double)], k: Int): DataFrame = {
-    val st = index.fieldStats.getOrElse(field, return emptyMatches)
+    bm25Weights(field, weightedTerms) match {
+      case None => emptyMatches
+      case Some((weights, avgdl)) =>
+        wandPartitions(field, weights, avgdl, k)
+          .flatMap { case (ids, scores, _, _) => ids.zip(scores) }
+          .toDF("docId", "score")
+          .orderBy(col("score").desc, col("docId").asc)
+          .limit(k)
+    }
+  }
+
+  /** Resolve a weighted term disjunction to BM25 weights (boost × idf);
+    * None when the field or every term is absent.
+    */
+  private def bm25Weights(field: String,
+      weightedTerms: Seq[(String, Double)]): Option[(Seq[(String, Double)], Double)] = {
+    val st = index.fieldStats.getOrElse(field, return None)
     val stats = termStats(field, weightedTerms.map(_._1))
     val weights: Seq[(String, Double)] = weightedTerms.flatMap { case (t, b) =>
       stats.get(t).map { case (df, _) => t -> b * Bm25.idf(st.docCount, df) }
     }
-    if (weights.isEmpty) return emptyMatches
-    val avgdl = st.avgdl
+    if (weights.isEmpty) None else Some((weights, st.avgdl))
+  }
+
+  /** Per-partition WAND results: (top-k docIds, their scores, docs scored,
+    * pruned?) — one row per salt-bucket partition. [[searchWand]] flattens
+    * the tops; [[searchHits]] also folds the count accounting.
+    */
+  private def wandPartitions(field: String, weights: Seq[(String, Double)], avgdl: Double,
+      k: Int): org.apache.spark.sql.Dataset[(Array[Long], Array[Double], Long, Boolean)] = {
     val kk = k
     val wts = weights
     val acc = wandDecoded // local val: the closure must not capture `this`
@@ -736,13 +782,42 @@ class Searcher(val index: Index) extends Serializable {
       .mapPartitions { it =>
         val byTerm = it.toArray.groupBy(_.term)
         val termBlocks = wts.map { case (t, w) => (w, byTerm.getOrElse(t, Array.empty)) }
-        val (top, decoded) = Wand.topkPartition(termBlocks, avgdl, kk)
-        acc.add(decoded.toLong)
-        top.iterator
+        val r = Wand.topkPartitionFull(termBlocks, avgdl, kk)
+        acc.add(r.decodedBlocks)
+        Iterator.single((r.top.map(_._1), r.top.map(_._2), r.scoredDocs, r.pruned))
       }
-      .toDF("docId", "score")
-      .orderBy(col("score").desc, col("docId").asc)
-      .limit(k)
+  }
+
+  /** Top-k with Lucene's `TotalHits` surfaced from the ACTUAL top-k path
+    * (TopScoreDocCollector semantics; reference `Hits.count` is an int when
+    * exact and a float when an estimate, documents.py:350-355): when the
+    * WAND route prunes, `total` is the GREATER_THAN_OR_EQUAL lower bound of
+    * docs it actually scored — no separate counting job; when nothing was
+    * pruned (or the exhaustive route ran), `total` is exact. Per-partition
+    * tops are merged on the driver (≤ partitions × k rows — metadata-scale).
+    */
+  def searchHits(q: Query, k: Int = 10): SearchHits = {
+    if (wandEnabled && k > 0 && index.deletes.isEmpty) {
+      wandable(q).foreach { case (f, wts0) =>
+        if (wts0.length > 1) {
+          val (weights, avgdl) = bm25Weights(f, wts0)
+            .getOrElse(return SearchHits(emptyMatches, TotalHits(0, exact = true)))
+          val per = wandPartitions(f, weights, avgdl, k).collect()
+          val merged = per.flatMap { case (ids, scores, _, _) => ids.zip(scores) }
+            .sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+          val scored = per.map(_._3).sum
+          val pruned = per.exists(_._4)
+          // a pruned run implies a full heap somewhere, so matches ≥ k and
+          // max(scored, k) remains a valid lower bound
+          val total =
+            if (!pruned) TotalHits(scored, exact = true)
+            else TotalHits(math.max(scored, k.toLong), exact = false)
+          val hits = if (merged.isEmpty) emptyMatches else merged.toDF("docId", "score")
+          return SearchHits(hits, total)
+        }
+      }
+    }
+    SearchHits(search(q, k), TotalHits(count(q), exact = true))
   }
 
   /** Top-k search (reference IndexSearcher.search, indexers.py:401-432).
@@ -1067,14 +1142,17 @@ class Searcher(val index: Index) extends Serializable {
 
   /** Ordered term-dictionary slice (reference IndexReader.terms,
     * indexers.py:220-246): prefix scan, range scan, or fuzzy scan.
+    * `minPrefix` is the reference's fuzzy `prefix=` knob (FuzzyTermsEnum
+    * prefixLength): the first N characters must match exactly — a cheap
+    * dictionary-side range narrowing before any distance math.
     */
   def terms(field: String, prefix: String = "", stop: String = null,
-      counts: Boolean = false, distance: Int = 0): DataFrame = {
+      counts: Boolean = false, distance: Int = 0, minPrefix: Int = 0): DataFrame = {
     var td = (if (distance > 0) fuzzyPrefiltered(field, prefix, distance) else index.termDict)
       .filter(col("field") === field && col("term") =!= "")
     td =
       if (distance > 0) // FuzzyTermsEnum semantics: transposition = 1 edit
-        td.filter(Searcher.fuzzyCond(prefix, distance, prefixLen = 0, transpositions = true))
+        td.filter(Searcher.fuzzyCond(prefix, distance, prefixLen = minPrefix, transpositions = true))
       else if (stop != null) td.filter(col("term") >= prefix && col("term") < stop)
       else td.filter(col("term").startsWith(prefix))
     val cols = if (counts) Seq(col("term"), col("docFreq")) else Seq(col("term"))
@@ -1269,6 +1347,14 @@ final case class TotalHits(value: Long, exact: Boolean) {
   def count: Any = if (exact) value else value.toDouble
 }
 
+/** Top-k hits plus their [[TotalHits]] (the reference's `Hits` pair of
+  * scored docs and `count`, documents.py:334-355).
+  */
+final case class SearchHits(hits: org.apache.spark.sql.DataFrame, total: TotalHits) {
+  /** int ⇔ exact, float ⇔ GTE estimate — the reference's dynamic surface. */
+  def count: Any = total.count
+}
+
 /** Position-list matchers for phrase/near queries. Lists arrive sorted
   * ascending (index order). For phrases the k-th list is pre-shifted by its
   * phrase offset, so an exact phrase occurrence is a common value across all
@@ -1337,6 +1423,33 @@ object Conjunction {
 }
 
 object PhraseMatcher {
+
+  /** Doc-ordered streaming cursor over one key's positional postings:
+    * decodes a single block at a time (blocks pre-sorted by firstDocId),
+    * exposing the current posting's docId/dlq/positions. curDoc ==
+    * Long.MaxValue ⇔ exhausted.
+    */
+  private final class DisjunctCursor(blocks: Array[graft.index.PostingBlock]) {
+    private var bi = 0
+    private var decoded: Array[graft.index.Posting] = _
+    private var pi = 0
+    var curDoc: Long = Long.MaxValue
+    advance()
+
+    def dlq: Int = decoded(pi).dlq
+    def positions: Array[Int] = decoded(pi).positions
+
+    def advance(): Unit = {
+      if (decoded != null) pi += 1
+      while (decoded == null || pi >= decoded.length) {
+        if (bi >= blocks.length) { decoded = null; curDoc = Long.MaxValue; return }
+        decoded = graft.index.PostingCodec.decodeBlock(blocks(bi), withPositions = true)
+        pi = 0
+        bi += 1
+      }
+      curDoc = decoded(pi).docId
+    }
+  }
 
   /** Rarest-term-first merge-intersect over one co-partitioned slice of
     * posting blocks (the executor side of Searcher.positionalMatches).
@@ -1420,23 +1533,45 @@ object PhraseMatcher {
         k += 1
       }
     } else {
-      // pure-disjunction doc set: union of the optional keys' postings
-      val acc = scala.collection.mutable.LongMap.empty[(Int, Array[Array[Int]])]
-      var j = 0
-      while (j < optional.length) {
-        val isDlqKey = optional(j)._1 == dlqField
-        byKey.get(optional(j)).foreach(_.foreach { b =>
-          PostingCodec.decodeBlock(b, withPositions = true).foreach { p =>
-            val e = acc.getOrElseUpdate(p.docId, (p.dlq, new Array[Array[Int]](n)))
-            e._2(j) = p.positions
-            if (isDlqKey && e._1 != p.dlq) acc(p.docId) = (p.dlq, e._2)
+      // pure-disjunction doc set: a k-way STREAMING merge of the optional
+      // keys' doc-ordered postings — each key decodes one block at a time,
+      // so memory is O(keys × block), not the partition's full postings
+      // (the prior LongMap pinned every decoded doc+positions of every key;
+      // for a spanOr over `the`-class terms that was the partition's whole
+      // posting set). Lists are docId-sorted within a key (blocks disjoint,
+      // ascending), so min-of-cursors enumerates the union in order.
+      val empty = Array.empty[Int]
+      val cursors = optional.map(key =>
+        new DisjunctCursor(byKey.getOrElse(key, Array.empty).sortBy(_.firstDocId)))
+      return new Iterator[(Long, Int, Array[Array[Int]])] {
+        def hasNext: Boolean = cursors.exists(_.curDoc != Long.MaxValue)
+        def next(): (Long, Int, Array[Array[Int]]) = {
+          var m = Long.MaxValue
+          var j = 0
+          while (j < cursors.length) {
+            if (cursors(j).curDoc < m) m = cursors(j).curDoc
+            j += 1
           }
-        })
-        j += 1
+          val a = new Array[Array[Int]](n)
+          // dlq: last matching dlqField key wins; else first matching key
+          var dlq = 0
+          var seen = false
+          j = 0
+          while (j < cursors.length) {
+            val c = cursors(j)
+            if (c.curDoc == m) {
+              a(j) = c.positions
+              if (!seen) { dlq = c.dlq; seen = true }
+              if (optional(j)._1 == dlqField) dlq = c.dlq
+              c.advance()
+            }
+            j += 1
+          }
+          var x = 0
+          while (x < a.length) { if (a(x) == null) a(x) = empty; x += 1 }
+          (m, dlq, a)
+        }
       }
-      docIds = acc.keys.toArray.sorted
-      dlqs = docIds.map(acc(_)._1)
-      poss = docIds.map(acc(_)._2)
     }
     if (required.nonEmpty && optional.nonEmpty && docIds.nonEmpty) {
       var j = 0

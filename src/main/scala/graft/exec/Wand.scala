@@ -88,6 +88,16 @@ object Wand {
     }
   }
 
+  /** A partition's WAND outcome: top-k candidates, blocks decoded (pruning
+    * evidence), docs fully SCORED, and whether any matching doc was skipped
+    * unscored. Every scored doc is a genuine match, so `scoredDocs` is a
+    * lower bound on the partition's match count — and the EXACT count when
+    * `pruned` is false (Lucene TotalHits.Relation semantics, surfaced by
+    * [[Searcher.searchHits]]).
+    */
+  final case class PartitionResult(top: Array[(Long, Double)], decodedBlocks: Long,
+      scoredDocs: Long, pruned: Boolean)
+
   /** WAND over one partition's blocks for a weighted SHOULD-of-terms query.
     *
     * @param termBlocks per query term: (BM25 weight, its blocks here)
@@ -96,12 +106,21 @@ object Wand {
     */
   def topkPartition(termBlocks: Seq[(Double, Array[PostingBlock])], avgdl: Double,
       k: Int): (Array[(Long, Double)], Long) = {
+    val r = topkPartitionFull(termBlocks, avgdl, k)
+    (r.top, r.decodedBlocks)
+  }
+
+  /** [[topkPartition]] with the full [[PartitionResult]] accounting. */
+  def topkPartitionFull(termBlocks: Seq[(Double, Array[PostingBlock])], avgdl: Double,
+      k: Int): PartitionResult = {
     // k == 0 would make the heap "full" while empty and theta undefined;
     // all-hits queries take the exhaustive path (Searcher.search k <= 0)
     require(k > 0, s"WAND needs k > 0 (got $k) — use exhaustive scoring for all-hits")
     val cursors = termBlocks.filter(_._2.nonEmpty)
       .map { case (w, bs) => new Cursor(w, avgdl, bs) }.toArray
-    if (cursors.isEmpty) return (Array.empty, 0L)
+    if (cursors.isEmpty) return PartitionResult(Array.empty, 0L, 0L, pruned = false)
+    var scoredDocs = 0L
+    var pruned = false
     // head = worst kept entry: smallest score, then largest docId
     val heap = mutable.PriorityQueue.empty[(Double, Long)](
       Ordering.by((sd: (Double, Long)) => (-sd._1, sd._2)))
@@ -119,7 +138,9 @@ object Wand {
         if (ubSum > theta) pivotIdx = i
         i += 1
       }
-      if (pivotIdx < 0) return (drain(heap), cursors.map(_.decodedBlocks).sum)
+      if (pivotIdx < 0) // remaining (live) docs are provably non-competitive
+        return PartitionResult(drain(heap), cursors.map(_.decodedBlocks).sum,
+          scoredDocs, pruned = true)
       val pivotDoc = live(pivotIdx).curDoc
       // all cursors positioned at ≤ pivotDoc can contribute to it
       var endIdx = pivotIdx
@@ -142,20 +163,25 @@ object Wand {
         val target = math.max(math.min(minBoundary + 1, nextDoc), pivotDoc + 1)
         var m = 0
         while (m <= endIdx) { live(m).advanceTo(target); m += 1 }
+        pruned = true // matching docs in the skipped range go uncounted
       } else if (live.head.curDoc == pivotDoc) {
         var score = 0.0
         live.foreach { c =>
           if (c.curDoc == pivotDoc) { score += c.currentScore; c.next() }
         }
+        scoredDocs += 1
         if (!full) heap.enqueue((score, pivotDoc))
         else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, pivotDoc)) }
       } else {
+        // cursors before the pivot hop over their sub-theta docs unscored;
+        // pivotIdx > 0 requires a full heap (theta < 0 pivots at index 0)
         var m = 0
         while (m < pivotIdx) { live(m).advanceTo(pivotDoc); m += 1 }
+        if (pivotIdx > 0) pruned = true
       }
       live = cursors.filter(_.curDoc != Long.MaxValue).sortBy(_.curDoc)
     }
-    (drain(heap), cursors.map(_.decodedBlocks).sum)
+    PartitionResult(drain(heap), cursors.map(_.decodedBlocks).sum, scoredDocs, pruned)
   }
 
   private def drain(heap: mutable.PriorityQueue[(Double, Long)]): Array[(Long, Double)] =

@@ -636,4 +636,27 @@ object TermGrams {
     termDict.filter(col("term") =!= "")
       .select(col("field"), col("term"), explode(g(col("term"))).as("gram"))
   }
+
+  // Derived-grams cache, keyed by termDict REFERENCE identity: Searchers over
+  // the same Index (and views made via withDeletes, which share the termDict
+  // DataFrame) reuse one pinned grams table instead of each persisting their
+  // own; superseded dictionaries (writer refresh re-opens the index) age out
+  // of the access-ordered bound and unpersist — long-lived writer sessions no
+  // longer accumulate cached copies until GC.
+  private val derivedCache =
+    new java.util.LinkedHashMap[AnyRef, DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean =
+        if (size > 4) { e.getValue.unpersist(false); true } else false
+    }
+
+  /** [[of]], persisted and memoized per dictionary instance (bounded LRU). */
+  def cachedOf(termDict: DataFrame): DataFrame = derivedCache.synchronized {
+    val hit = derivedCache.get(termDict)
+    if (hit != null) hit
+    else {
+      val g = of(termDict).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      derivedCache.put(termDict, g)
+      g
+    }
+  }
 }

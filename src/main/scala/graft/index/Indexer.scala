@@ -85,8 +85,17 @@ final class Indexer(
     // docs writes straight to the sidecar without ever materializing on the
     // driver. A per-column __set_ flag distinguishes "update to NULL" (clears
     // the value, Lucene updateDocValues(field, null)) from "row not updated".
+    // lit() rejects Seq/Map values ("Unsupported literal type") — array-typed
+    // docvalue columns are legal update targets, so build those literals
+    // element-wise from the public functions API
+    def litAny(v: Any): org.apache.spark.sql.Column = v match {
+      case s: scala.collection.Seq[_] => array(s.toSeq.map(litAny): _*)
+      case m: scala.collection.Map[_, _] =>
+        map(m.toSeq.flatMap { case (k, x) => Seq(litAny(k), litAny(x)) }: _*)
+      case other => lit(other)
+    }
     val upd = values.foldLeft(committedSearcher.eval(matchQ).select("docId")) { case (d, (name, v)) =>
-      d.withColumn(name, lit(v).cast(sourceSchema(name).dataType))
+      d.withColumn(name, litAny(v).cast(sourceSchema(name).dataType))
         .withColumn(s"__set_$name", lit(true))
     }
     if (upd.isEmpty) return // no matches ⇒ no generation (bounded take-1 probe)
@@ -95,6 +104,7 @@ final class Indexer(
       if (!fs.exists(p)) 0 else fs.listStatus(p).length
     }
     upd.write.mode("overwrite").parquet(f"$dir/dvupdates/gen=$gen%06d")
+    coalesceDvGens()
     refresh()
   }
 
@@ -108,11 +118,26 @@ final class Indexer(
     * when it IS small. Legacy generations without __set_ flags keep their
     * non-null-overwrite semantics (flag := value IS NOT NULL).
     */
-  private def applyDvUpdates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Generation dirs that still MATTER for the merged view: a coalesced
+    * generation (marked `_COALESCED`) supersedes every generation sorting
+    * before it, so reads start at the last such marker. Superseded dirs are
+    * kept on disk — snapshot() pins name them, and parquet+marker files are
+    * immutable — bounding the OPEN-TIME plan without breaking pins; compact()
+    * eventually drops the whole sidecar.
+    */
+  private def liveDvGens: Array[Path] = {
     val p = new Path(s"$dir/dvupdates")
-    if (!fs.exists(p)) return docs
+    if (!fs.exists(p)) return Array.empty
     val gens = fs.listStatus(p).map(_.getPath).sortBy(_.getName)
-    if (gens.isEmpty) return docs
+    val lastCoal = gens.lastIndexWhere(g => fs.exists(new Path(g, "_COALESCED")))
+    if (lastCoal <= 0) gens else gens.drop(lastCoal)
+  }
+
+  /** Merge generations into ONE per-docId row: per column, the LATEST
+    * generation that set it wins (max_by on the generation index); the
+    * `__updset_` flag records whether ANY generation set it.
+    */
+  private def mergedDvUpdates(gens: Array[Path]): (org.apache.spark.sql.DataFrame, Seq[String]) = {
     val normalized = gens.zipWithIndex.map { case (g, i) =>
       var u = spark.read.parquet(g.toString)
       u.columns.filterNot(c => c == "docId" || c.startsWith("__set_")).foreach { c =>
@@ -130,12 +155,43 @@ final class Indexer(
         max_by(col(c), when(coalesce(col(s"__set_$c"), lit(false)), col("__gen"))).as(s"__upd_$c"),
         max(coalesce(col(s"__set_$c"), lit(false))).as(s"__updset_$c"))
     }
-    val merged = all.groupBy("docId").agg(aggs.head, aggs.tail: _*)
+    (all.groupBy("docId").agg(aggs.head, aggs.tail: _*), ucols)
+  }
+
+  private def applyDvUpdates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gens = liveDvGens
+    if (gens.isEmpty) return docs
+    val (merged, ucols) = mergedDvUpdates(gens)
     val joined = docs.join(merged, Seq("docId"), "left")
     ucols.foldLeft(joined) { (x, c) =>
       x.withColumn(c, when(coalesce(col(s"__updset_$c"), lit(false)),
         col(s"__upd_$c")).otherwise(col(c)))
     }.drop(ucols.flatMap(c => Seq(s"__upd_$c", s"__updset_$c")): _*)
+  }
+
+  /** Open-time plan bound: once this many live generations accumulate, the
+    * next updateDocValues folds them into one on-disk generation.
+    */
+  var dvCoalesceThreshold: Int = 32
+
+  /** Fold every live generation into ONE (a `_COALESCED`-marked generation
+    * whose per-docId row carries each column's winning value + set flag):
+    * 50 scattered updates become a single parquet read at every subsequent
+    * open instead of a 50-way unionByName. Nothing is deleted — pinned
+    * generation files stay immutable and later opens simply start reading at
+    * the marker.
+    */
+  private def coalesceDvGens(): Unit = {
+    val gens = liveDvGens
+    if (gens.length < dvCoalesceThreshold) return
+    val (merged, ucols) = mergedDvUpdates(gens)
+    val folded = ucols.foldLeft(merged) { (x, c) =>
+      x.withColumnRenamed(s"__upd_$c", c).withColumnRenamed(s"__updset_$c", s"__set_$c")
+    }
+    val next = fs.listStatus(new Path(s"$dir/dvupdates")).length
+    val out = f"$dir/dvupdates/gen=$next%06d"
+    folded.write.mode("overwrite").parquet(out)
+    fs.create(new Path(out, "_COALESCED"), true).close()
   }
 
   private def nextSegId: Long =
@@ -218,7 +274,18 @@ final class Indexer(
               sourceSchema)
             MultiIndex.union(Seq(committed.index, IndexBuilder.build(df, schema)))
           }
-        nrtDeletes.foldLeft(new Searcher(viewIdx))((s0, q) => s0.delete(q))
+        // pending deletes resolve against the COMMITTED view only — commit()
+        // resolves them pre-add (delete-then-add, the LifecyclePropertySpec
+        // contract), so an update(q, doc) + refresh() must not tombstone the
+        // doc it just re-added (Lucene updateDocument never deletes its own
+        // add). Committed docIds are stable under the union (the buffered
+        // segment rebases PAST them), so the tombstones transfer directly.
+        if (nrtDeletes.isEmpty) new Searcher(viewIdx)
+        else {
+          val ids = nrtDeletes.map(q => committed.eval(q).select("docId"))
+            .reduce(_ unionByName _).distinct()
+          new Searcher(viewIdx.withDeletes(ids))
+        }
       }
     cachedSearcher = Some(s)
     s
@@ -386,4 +453,24 @@ final class Indexer(
   def count(q: Query): Long = searcher.count(q)
   def search(q: Query, k: Int = 10) = searcher.search(q, k)
   def version: Long = StreamingIndexer.version(spark, dir)
+
+  /** Wall-clock of the last durable commit, epoch seconds (reference
+    * IndexReader.timestamp, indexers.py:117-126 — Lucene reads the commit's
+    * segments-file mtime; here, the newest part-file mtime across the
+    * commit-bearing trees: segment lineage, tombstones, dv-update
+    * generations — each durable write advances it, as each Lucene commit
+    * writes a new segments_N). 0.0 for a never-committed directory.
+    */
+  def timestamp: Double = {
+    def mtimes(sub: String): Seq[Long] = {
+      val p = new Path(s"$dir/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).map(_.getModificationTime).toSeq
+        else Seq(s.getModificationTime)
+      }
+    }
+    val all = Seq("segments", "deletes", "dvupdates").flatMap(mtimes)
+    if (all.isEmpty) 0.0 else all.max / 1000.0
+  }
 }

@@ -155,10 +155,15 @@ object Ann {
       dir: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null vectors would NPE the Lloyd pass (only the final assign UDF
+    // guards null); an all-null/empty input has no seedable centroid at all
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
     var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map(normalized)
+    require(centroids.nonEmpty,
+      s"buildIvf needs at least one non-null $vecCol vector to seed centroids")
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)

@@ -185,24 +185,39 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates come from a
-    * sign-bucket LSH equi-join — pairs agreeing on EVERY hyperplane sign
-    * share one bucket id, so candidate generation is a shuffle join on the
-    * bucket (≈ N²/2^H work per bucket), never an all-pairs product — then
-    * the exact cosine ≥ `minCos` verify runs on candidates only. The
-    * recall/cost trade is the standard LSH one: a near-dup pair is missed
-    * only if some hyperplane separates it (probability ∝ angle/π per
-    * plane); production tightens with multiple bucket tables or
-    * [[Ann.probeSequence]]-style multi-probe.
+    * sign-bucket LSH equi-join — pairs agreeing on EVERY hyperplane sign of
+    * some table share one bucket id, so candidate generation is a shuffle
+    * join on (table, bucket) (≈ N²/2^(H/tables) work per bucket), never an
+    * all-pairs product — then the exact cosine ≥ `minCos` verify runs on
+    * deduplicated candidates only.
+    *
+    * `tables` is the standard OR-of-ANDs banding (same construction as the
+    * minhash path): the hyperplanes split into `tables` bands, each band its
+    * own bucket table, and a pair is a candidate when ANY band agrees on all
+    * its signs. A single AND over all H planes loses recall as H grows with
+    * log₂N (miss probability 1 − (1 − θ/π)^H); with banding it is
+    * 1 − (1 − (1 − θ/π)^(H/t))^t — the production recall knob. Rows explode
+    * by `tables` (one narrow (id, bucket) row per band), so the join input
+    * scales linearly in t, not the corpus.
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
-      hyperplanes: Seq[Seq[Float]], minCos: Double): DataFrame = {
+      hyperplanes: Seq[Seq[Float]], minCos: Double, tables: Int = 1): DataFrame = {
+    require(tables >= 1 && tables <= hyperplanes.length,
+      s"tables must be in [1, ${hyperplanes.length}] (got $tables)")
+    val bandSize = (hyperplanes.length + tables - 1) / tables
+    val bands = hyperplanes.grouped(bandSize).toSeq
+    val bucketCols = bands.zipWithIndex.map { case (hs, t) =>
+      struct(lit(t).as("t"), Ann.signBucket(col(vecCol), hs).as("b"))
+    }
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Ann.signBucket(col(vecCol), hyperplanes).as("bucket"))
+      explode(array(bucketCols: _*)).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Ann.cosine(col("a.v"), col("b.v")).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.v").as("va"), col("b.v").as("vb"))
+      // a pair agreeing in several bands would verify (and emit) repeatedly
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), Ann.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 

@@ -84,6 +84,11 @@ class ConstitutionSpec extends SparkTestBase {
     val fuzzy1 = searcher.terms("text", prefix = "right", counts = true, distance = 1).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(fuzzy1.toSeq === Seq("eight" -> 3L, "right" -> 13L, "rights" -> 1L))
+    // the fuzzy prefix knob (reference terms(..., prefix=N), indexers.py:220-246):
+    // minPrefix=1 pins the first character, excluding 'eight'
+    val pinned = searcher.terms("text", prefix = "right", distance = 1, minPrefix = 1)
+      .collect().map(_.getString(0))
+    assert(pinned.toSeq === Seq("right", "rights"))
   }
 
   test("terms: senite distance 2 (test_engine.py:153)") {

@@ -318,4 +318,98 @@ class IndexerFacadeSpec extends SparkTestBase {
     // source sees everything
     assert(w.count(Term("content", "one")) === 0L)
   }
+
+  test("nrt: update() + refresh() never tombstones its own re-add (updateDocument contract)") {
+    val dir = Files.createTempDirectory("graft-nrtupd").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema, nrt = true)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en",
+      "content" -> "alpha beta")
+    w.commit()
+    // the delete query ALSO matches the re-added doc: the NRT view must
+    // resolve it against the committed view only (Lucene updateDocument
+    // never deletes the doc it adds; commit() pins the same delete-then-add
+    // order in LifecyclePropertySpec)
+    w.update(Term("content", "alpha"),
+      "repo" -> "r", "path" -> "p0", "commit" -> "c2", "lang" -> "en",
+      "content" -> "alpha gamma")
+    w.refresh()
+    assert(w.count(Term("content", "alpha")) === 1L) // re-added doc, visible
+    assert(w.count(Term("content", "beta")) === 0L) // old doc, tombstoned
+    assert(w.count(Term("content", "gamma")) === 1L)
+    assert(w.count(AllDocs) === 1L)
+    // the NRT view matches the post-commit state exactly
+    w.commit()
+    assert(w.count(Term("content", "alpha")) === 1L)
+    assert(w.count(Term("content", "beta")) === 0L)
+    assert(w.count(Term("content", "gamma")) === 1L)
+  }
+
+  test("docvalues update accepts Seq values for array-typed columns") {
+    val s2 = StructType(srcSchema.fields :+ StructField("tags", ArrayType(StringType)))
+    val dir = Files.createTempDirectory("graft-dvarr").toString
+    val w = new Indexer(spark, dir, idxSchema, s2)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en",
+      "content" -> "alpha", "tags" -> Seq("orig"))
+    w.commit()
+    w.updateDocValues(Term("content", "alpha"), "tags" -> Seq("a", "b"))
+    assert(w.searcher.index.docs.select("tags").collect()(0)
+      .getSeq[String](0).toSeq === Seq("a", "b"))
+    // empty Seq and null both round-trip
+    w.updateDocValues(Term("content", "alpha"), "tags" -> Seq.empty[String])
+    assert(w.searcher.index.docs.select("tags").collect()(0).getSeq[String](0).isEmpty)
+    w.updateDocValues(Term("content", "alpha"), "tags" -> null)
+    assert(w.searcher.index.docs.select("tags").collect()(0).isNullAt(0))
+  }
+
+  test("dv-update generations coalesce on disk past the threshold (bounded open-time plan)") {
+    val dir = Files.createTempDirectory("graft-dvcoal").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.dvCoalesceThreshold = 8
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha")
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "de", "content" -> "beta")
+    w.commit()
+    w.updateDocValues(Term("content", "beta"), "note" -> "keep") // earlier gen must survive folds
+    (1 to 50).foreach(i => w.updateDocValues(Term("content", "alpha"), "note" -> s"v$i"))
+    // on-disk: generations past the last _COALESCED marker stay < threshold,
+    // so the open-time plan is bounded no matter how many updates ran
+    def genDirs = new java.io.File(s"$dir/dvupdates").listFiles.map(_.getName).sorted
+    def liveAfterMarker = {
+      val gens = genDirs
+      val lastCoal = gens.lastIndexWhere(g =>
+        new java.io.File(s"$dir/dvupdates/$g/_COALESCED").exists)
+      gens.length - math.max(lastCoal, 0)
+    }
+    assert(liveAfterMarker <= w.dvCoalesceThreshold, s"live gens: $liveAfterMarker")
+    // latest-wins survives the folds, including values set before the first fold
+    val notes = w.searcher.index.docs.orderBy("docId").select("note")
+      .collect().map(_.getString(0))
+    assert(notes.toSeq === Seq("v50", "keep"))
+    // a fresh handle (reads only the coalesced tail) agrees
+    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    assert(r.searcher.index.docs.orderBy("docId").select("note")
+      .collect().map(_.getString(0)).toSeq === Seq("v50", "keep"))
+    // updates after a fold still win over it
+    w.updateDocValues(Term("content", "alpha"), "note" -> "final")
+    assert(w.searcher.index.docs.orderBy("docId").select("note")
+      .collect().map(_.getString(0)).toSeq === Seq("final", "keep"))
+  }
+
+  test("timestamp: advances with every durable commit (indexers.py:117-126)") {
+    val dir = Files.createTempDirectory("graft-ts").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    assert(w.timestamp === 0.0) // never committed
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha")
+    w.commit()
+    val t1 = w.timestamp
+    assert(t1 > 0.0)
+    Thread.sleep(20) // fs mtime granularity
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "en", "content" -> "beta")
+    w.commit()
+    val t2 = w.timestamp
+    assert(t2 > t1)
+    // docvalue-only updates are commits too (Lucene writes a new segments_N)
+    Thread.sleep(20)
+    w.updateDocValues(Term("content", "alpha"), "note" -> "n")
+    assert(w.timestamp > t2)
+  }
 }

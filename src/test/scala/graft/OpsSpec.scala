@@ -238,6 +238,36 @@ class OpsSpec extends SparkTestBase {
     assert(!loose.contains((0L, 3L)))
   }
 
+  test("dedup: multi-table (OR-of-ANDs) cosine LSH keeps planted pairs a single AND drops") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed → fully deterministic
+    val dim = 8
+    def vec(): Array[Float] = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 30).map(_ => vec())
+    // 10 planted near-dup pairs: tiny perturbations, cosine ≈ 0.9999
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      (0 until 10).map { i =>
+        ((100 + i).toLong,
+          base(i).map(x => x + (rnd.nextDouble() * 0.002 - 0.001).toFloat).toSeq)
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+    val planes = (0 until 16).map(_ => Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    def found(tables: Int) =
+      graft.ops.Dedup.cosineNearDup(emb, "vec_id", "embedding", planes, 0.999, tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val single = found(1)
+    val banded = found(4)
+    // H=16 single-AND recall decays (miss prob 1−(1−θ/π)^16); 4 tables of 4
+    // planes recover every planted pair here
+    assert(planted.subsetOf(banded.toSet), s"missed: ${planted -- banded.toSet}")
+    // all-16-signs agreement implies per-band agreement: OR-of-ANDs only adds
+    assert(single.toSet.subsetOf(banded.toSet))
+    // a pair agreeing in several bands still emits exactly once
+    assert(banded.distinct.length === banded.length)
+  }
+
   test("ann: multi-probe sequence is margin-ordered, supports multi-bit flips, caps at 2^H") {
     import graft.ops.Ann.probeSequence
     // margins: h0 far (0.9), h1 close (0.1), h2 middling (0.4); qb = 0b000

@@ -146,6 +146,13 @@ class ScaleSpec extends SparkTestBase {
 
   test("fuzzy trigram prefilter: identical results, candidates ≪ dictionary, fallback for short queries") {
     val s = new Searcher(IndexBuilder.build(corpus, schema, numPartitions = 4))
+    // the cost gate bypasses the grams derivation for this tiny dictionary —
+    // assert the default plan is the plain length-window scan, then force the
+    // grams path for the pruning-evidence assertions below
+    val gated = s.terms("content", "mergebatch", distance = 1)
+    gated.collect()
+    assert(!gated.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    s.fuzzyGramMinDictSize = 0L
     val dict = s.index.termDict
       .filter(col("field") === "content" && col("term") =!= "")
       .select("term").collect().map(_.getString(0))
@@ -180,6 +187,29 @@ class ScaleSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq)
     val p2 = stored.queryExecution.executedPlan.toString
     assert(p2.contains("termgrams") && p2.contains("PushedFilters"), p2.take(1200))
+  }
+
+  test("hot-term spanOr: streaming k-way merge ≡ union of per-term positions") {
+    // pure span disjunction over the corpus's hottest terms — the branch that
+    // previously accumulated every decoded posting of every key in a LongMap
+    // and now streams one block per key at a time
+    val s = new Searcher(IndexBuilder.build(CodeCorpus.generate(spark, 1000, 8), schema, 8))
+    val terms = Seq("def", "the", "class", "return")
+    val sq = terms.map(t => Query.span("content", t): SpanQ).reduce(_ | _)
+    val got = s.spans(sq).collect().map { r =>
+      r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getInt(1))).toSeq
+    }.toMap
+    val exp = scala.collection.mutable.Map.empty[Long, Seq[(Int, Int)]]
+    terms.foreach { t =>
+      s.positions("content", t).collect().foreach { r =>
+        val d = r.getLong(0)
+        exp(d) = exp.getOrElse(d, Seq.empty) ++ r.getSeq[Int](1).map(p => (p, p + 1))
+      }
+    }
+    val oracle = exp.map { case (d, ps) => d -> ps.distinct.sorted.toSeq }.toMap
+    assert(got.keySet === oracle.keySet)
+    oracle.foreach { case (d, ps) => assert(got(d) === ps, s"doc $d") }
   }
 
   test("hot-term skew: 'the'/'def' posting blocks stay block-aligned and decodable") {

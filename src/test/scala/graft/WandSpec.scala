@@ -170,4 +170,36 @@ class WandSpec extends SparkTestBase {
     // and the pruned result still matches exhaustive
     assert(top.map(_._1).toSeq === exhaustive(terms, 1).map(_._1))
   }
+
+  test("searchHits: pruned top-k reports a float GTE estimate from the WAND pass; " +
+      "unpruned/exhaustive report exact ints (documents.py:350-355)") {
+    val rare = index.termDict.filter(col("field") === "content" && col("term").startsWith("scan") &&
+        col("term") =!= "scan")
+      .orderBy(col("docFreq").asc).limit(1).collect()(0).getString(1)
+    // rare + hot mix at k=1: the previous test proves blocks are skipped on
+    // this corpus, so matching docs go unscored and the count is an estimate
+    val terms = Seq(rare, "def", "class", "import", "return")
+    val q = Q.any(terms.map(Term("content", _)): _*)
+    val r = searcher.searchHits(q, 1)
+    assert(r.hits.collect().map(_.getLong(0)).toSeq ===
+      searcher.search(q, 1).collect().map(_.getLong(0)).toSeq) // hits unchanged
+    assert(!r.total.exact, "expected a pruned (estimate) run")
+    assert(r.count.isInstanceOf[Double]) // the reference's float ⇔ estimate surface
+    val trueCount = searcher.count(q)
+    assert(r.total.value >= 1L && r.total.value <= trueCount,
+      s"lower bound ${r.total.value} vs true $trueCount")
+
+    // k beyond the match count: the heap never fills, nothing prunes, and
+    // the WAND pass itself yields the EXACT count — no counting job ran
+    val rareQ = Q.any(Term("content", rare), Term("content", "zzz_missing"))
+    val rx = searcher.searchHits(rareQ, 10000)
+    val rcount = searcher.count(rareQ)
+    assert(rx.total.exact && rx.total.value === rcount)
+    assert(rx.count === rcount) // int ⇔ exact
+    assert(rx.hits.count() === rcount)
+
+    // non-WAND-able query (single term) falls to the exhaustive exact path
+    val one = searcher.searchHits(Term("content", "def"), 5)
+    assert(one.total.exact && one.total.value === searcher.count(Term("content", "def")))
+  }
 }
