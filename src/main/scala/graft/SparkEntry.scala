@@ -179,6 +179,14 @@ object SparkEntry {
       searcher(sp, dir).terms("content", prefix = "s", counts = true)
         .select(col("term"), col("docFreq").as("docfreq"))
     }),
+    "q_terms_fuzzy" -> ((sp, dir) => {
+      // reference terms(name, value, distance=1, prefix=1)
+      // (indexers.py:220-246): OSA distance <= 1 with the first character
+      // pinned exactly (FuzzyTermsEnum prefixLength)
+      searcher(sp, dir).terms("content", prefix = "joln", counts = true,
+          distance = 1, minPrefix = 1)
+        .select(col("term"), col("docFreq").as("docfreq"))
+    }),
     "q_facets_lang" -> ((sp, dir) => {
       searcher(sp, dir).facets(Term("content", "data"), "lang")
         .select(col("lang"), col("cnt"))
@@ -268,6 +276,25 @@ object SparkEntry {
       val hp = emb.filter(col("vec_id").between(1, 8)).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0))
       graft.ops.Dedup.cosineNearDup(planted, "vec_id", "embedding", hp.toSeq, 0.999)
+        .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
+    }),
+    // OR-of-ANDs banding (tables=3 over 30 planes): band t = planes
+    // (10t..10t+9), 2¹⁰ buckets per band; a pair is a candidate when ANY
+    // band's ten signs all agree — the production recall construction
+    // (1−(1−(1−θ/π)¹⁰)³ vs the single-AND (1−θ/π)⁸). The banding knob
+    // must NOT shrink planes-per-band: fewer planes per band = exponentially
+    // fatter buckets (2 planes/band ⇒ ~N²/4 candidate pairs — measured
+    // 11.7 s warm vs ~1 s here at sf0.1). Same exact-cosine verify on
+    // distinct pairs.
+    "q_dedup_cosine_banded" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val hp = emb.filter(col("vec_id").between(1, 30)).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0))
+      graft.ops.Dedup.cosineNearDup(planted, "vec_id", "embedding", hp.toSeq, 0.999, tables = 3)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
     }),
     "q_ann_topk" -> ((sp, dir) => {
@@ -425,6 +452,11 @@ object SparkEntry {
       s"""$prelude SELECT 'the' AS term, count(*) AS docfreq FROM tf WHERE term = 'the'""",
     "q_terms_prefix" ->
       s"""$prelude SELECT term, count(*) AS docfreq FROM tf WHERE term LIKE 's%' GROUP BY 1 ORDER BY term""",
+    "q_terms_fuzzy" -> // distance 1 is OSA≡DL-safe (see the suggest oracle note);
+      // minPrefix=1 pins the first character (FuzzyTermsEnum prefixLength)
+      s"""$prelude SELECT term, count(*) AS docfreq FROM tf
+         |WHERE substring(term, 1, 1) = 'j' AND damerau_levenshtein(term, 'joln') <= 1
+         |GROUP BY 1 ORDER BY term""".stripMargin,
     "q_facets_lang" ->
       s"""$prelude SELECT c.lang, count(*) AS cnt
          |FROM corpus c JOIN (SELECT DISTINCT docid FROM tf WHERE term = 'data') m USING (docid)
@@ -546,6 +578,44 @@ object SparkEntry {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${dot("a.embedding", "b.embedding")} / (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cos
          |  FROM bux a JOIN bux b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
+         |FROM pairs WHERE cos >= 0.999""".stripMargin
+    },
+    "q_dedup_cosine_banded" -> {
+      val dot = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val nrm = (a: String) =>
+        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      // band t = planes (10t..10t+9), local sign bit 1<<j (Dedup.cosineNearDup
+      // tables=3 over 30 planes; Ann.signBucket bit order)
+      def bandBucket(v: String, t: Int) = (0 until 10)
+        .map(j => s"(CASE WHEN ${dot(v, s"hp.h${10 * t + j}")} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val hpDefs = (0 until 30)
+        .map(i => s"(SELECT embedding FROM embeddings WHERE vec_id = ${i + 1}) AS h$i")
+        .mkString(",\n         ")
+      val bandRows = (0 until 3)
+        .map(t => s"SELECT p.vec_id, $t AS t, ${bandBucket("p.embedding", t)} AS bucket" +
+          s" FROM planted p CROSS JOIN hp")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH planted AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+         |  FROM embeddings WHERE vec_id < 25
+         |), hp AS (
+         |  SELECT $hpDefs
+         |), bux AS (
+         |  $bandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bux a JOIN bux b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |), pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |    ${dot("pa.embedding", "pb.embedding")} / (${nrm("pa.embedding")} * ${nrm("pb.embedding")}) AS cos
+         |  FROM cand c JOIN planted pa ON pa.vec_id = c.id_a
+         |               JOIN planted pb ON pb.vec_id = c.id_b
          |)
          |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
          |FROM pairs WHERE cos >= 0.999""".stripMargin

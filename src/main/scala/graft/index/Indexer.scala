@@ -30,13 +30,24 @@ import graft.streaming.StreamingIndexer
 final case class IndexPin(segmentIds: Seq[Long], deleteFiles: Seq[String] = Seq.empty,
     dvGens: Seq[String] = Seq.empty, epoch: Int = 0)
 
+/** One writer already holds the directory's `write.lock` (Lucene
+  * LockObtainFailedException — the reference's IndexWriter inherits the
+  * one-writer-per-directory contract, indexers.py:493-523).
+  */
+final class LockObtainFailedException(dir: String, holder: String)
+  extends IllegalStateException(
+    s"index dir $dir is write-locked by [$holder] — close() the other Indexer, " +
+      "open this handle with readOnly = true, or Indexer.unlock(spark, dir) " +
+      "if the holder crashed (stale lock)")
+
 final class Indexer(
     val spark: SparkSession,
     val dir: String,
     val schema: IndexSchema,
     val sourceSchema: StructType,
-    val nrt: Boolean = false
-) {
+    val nrt: Boolean = false,
+    val readOnly: Boolean = false
+) extends AutoCloseable {
   private val buf = ArrayBuffer.empty[Row]
   private val pendingDeletes = ArrayBuffer.empty[Query]
   private var cachedSearcher: Option[Searcher] = None
@@ -48,14 +59,77 @@ final class Indexer(
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---------------------------------------------------------------- locking
+  // ONE writer per directory for the handle's whole lifetime (Lucene
+  // write.lock): two writers racing nextSegId would both claim the same
+  // segment id and interleave lineage. Readers (readOnly = true — the
+  // reference's IndexSearcher-on-a-directory posture) never lock; they see
+  // committed state only. create(overwrite = false) is the atomicity point
+  // (atomic on HDFS-like stores; exists-check + create locally). Crash
+  // recovery mirrors Lucene: the lock file goes stale and the operator
+  // removes it ([[Indexer.unlock]]).
+  private val lockPath = new Path(s"$dir/${Indexer.LockName}")
+  private var closed = false
+  if (!readOnly) {
+    if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
+    def holder: String =
+      try {
+        val in = fs.open(lockPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.take(120)
+        finally in.close()
+      } catch { case _: Throwable => "unknown holder" }
+    try {
+      val out = fs.create(lockPath, false)
+      out.write((s"pid ${ProcessHandle.current().pid()}@" +
+        s"${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"since ${java.time.Instant.now()}").getBytes("UTF-8"))
+      out.close()
+    } catch {
+      case e: java.io.IOException =>
+        if (!fs.exists(lockPath)) throw e // genuine fs failure, not contention
+        throw new LockObtainFailedException(dir, holder)
+    }
+  }
+
+  private def ensureWritable(): Unit = {
+    if (closed) throw new IllegalStateException(
+      s"this Indexer is closed (AlreadyClosedException): $dir")
+    if (readOnly) throw new IllegalStateException(
+      s"read-only handle (no write.lock held): $dir")
+  }
+
+  /** Commit pending changes, then release the write lock — the reference's
+    * non-error `__exit__` (indexers.py:606-611: commit() then close();
+    * Lucene commitOnClose default). Idempotent. Use [[rollback]] to discard
+    * the uncommitted buffer instead.
+    */
+  override def close(): Unit = if (!closed) {
+    if (!readOnly && (buf.nonEmpty || pendingDeletes.nonEmpty)) commit()
+    closed = true
+    if (!readOnly) { fs.delete(lockPath, false); () }
+  }
+
+  /** Discard buffered-but-uncommitted docs/deletes and release the lock —
+    * the reference's error-path `__exit__` (rollback(); indexers.py:607-608).
+    * Committed state is untouched.
+    */
+  def rollback(): Unit = if (!closed) {
+    buf.clear(); pendingDeletes.clear()
+    nrtBuf = Seq.empty; nrtDeletes = Seq.empty
+    cachedSearcher = None
+    closed = true
+    if (!readOnly) { fs.delete(lockPath, false); () }
+  }
+
   /** Buffer one document (field → value map; missing fields become null). */
   def add(doc: (String, Any)*): Unit = {
+    ensureWritable()
     val m = doc.toMap
     buf += Row.fromSeq(sourceSchema.fieldNames.toSeq.map(f => m.get(f).orNull))
   }
 
   /** Queue a delete-by-query, applied at commit (tombstones). */
-  def delete(q: Query): Unit = pendingDeletes += q
+  def delete(q: Query): Unit = { ensureWritable(); pendingDeletes += q; () }
 
   /** Atomic delete-by-query + re-add (IndexWriter.update semantics). */
   def update(matchQ: Query, doc: (String, Any)*): Unit = {
@@ -73,6 +147,7 @@ final class Indexer(
     * files, Spark-shaped); later generations win.
     */
   def updateDocValues(matchQ: Query, values: (String, Any)*): Unit = {
+    ensureWritable()
     val indexed = values.map(_._1).filter(schema.fields.contains)
     require(indexed.isEmpty,
       s"fields ${indexed.mkString(", ")} are indexed — use update() (delete + re-add)")
@@ -201,6 +276,7 @@ final class Indexer(
 
   /** Durably commit buffered adds (one segment) and queued deletes. */
   def commit(): Unit = {
+    ensureWritable()
     // deletes resolve against the pre-commit view (delete-then-add order,
     // matching IndexWriter.update) and stay DISTRIBUTED end-to-end: the
     // matched docIds write straight to the tombstone table — a broad
@@ -309,6 +385,7 @@ final class Indexer(
     * enough for a single writer.
     */
   def compact(): Unit = {
+    ensureWritable()
     val live = committedSearcher.index
     val rows = live.deletes match {
       case None    => live.docs
@@ -472,5 +549,28 @@ final class Indexer(
     }
     val all = Seq("segments", "deletes", "dvupdates").flatMap(mtimes)
     if (all.isEmpty) 0.0 else all.max / 1000.0
+  }
+}
+
+object Indexer {
+  /** Lucene's lock-file name, verbatim — operators recognize it. */
+  val LockName = "write.lock"
+
+  /** True when a writer currently holds the directory's lock
+    * (Lucene IndexWriter.isLocked).
+    */
+  def isLocked(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(s"$dir/$LockName")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Forcibly remove a stale lock after a writer crash (Lucene's classic
+    * IndexWriter.unlock). Returns true when a lock file was removed. ONLY
+    * safe when the holding process is known dead — removing a live writer's
+    * lock reintroduces the two-writer lineage race the lock exists to stop.
+    */
+  def unlock(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(s"$dir/$LockName")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
   }
 }

@@ -52,7 +52,7 @@ class IndexerFacadeSpec extends SparkTestBase {
     assert(w.count(Term("content", "hello")) === 1L) // p0 only
 
     // durable: a fresh handle sees the same state
-    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    val r = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
     assert(r.version === 3L)
     assert(r.count(Term("content", "hello")) === 1L)
     assert(r.count(Term("content", "flink")) === 1L)
@@ -107,7 +107,7 @@ class IndexerFacadeSpec extends SparkTestBase {
       .select("note").collect()(0).isNullAt(0))
     w.updateDocValues(Term("content", "beta"), "note" -> "n42")
     // durable across a fresh handle
-    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    val r = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
     assert(r.searcher.index.docs.orderBy("docId").select("note")
       .collect().map(_.getString(0)).toSeq === Seq("n42", null))
   }
@@ -122,7 +122,7 @@ class IndexerFacadeSpec extends SparkTestBase {
     assert(w.count(AllDocs) === 1L && w.current)
     assert(w.count(Term("content", "alpha")) === 1L) // searchable pre-commit
     // a plain directory reader only ever sees commits
-    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    val r = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
     assert(r.count(AllDocs) === 0L && r.current)
     // uncommitted delete: tombstones the committed doc in the NRT view only
     w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "en", "content" -> "gamma")
@@ -195,7 +195,7 @@ class IndexerFacadeSpec extends SparkTestBase {
     w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha")
     w.commit()
     java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, ".compact-inflight"))
-    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    val r = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
     val e = intercept[java.io.IOException] { r.searcher }
     assert(e.getMessage.contains("compact"))
     java.nio.file.Files.delete(java.nio.file.Paths.get(dir, ".compact-inflight"))
@@ -385,7 +385,7 @@ class IndexerFacadeSpec extends SparkTestBase {
       .collect().map(_.getString(0))
     assert(notes.toSeq === Seq("v50", "keep"))
     // a fresh handle (reads only the coalesced tail) agrees
-    val r = new Indexer(spark, dir, idxSchema, srcSchema)
+    val r = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
     assert(r.searcher.index.docs.orderBy("docId").select("note")
       .collect().map(_.getString(0)).toSeq === Seq("v50", "keep"))
     // updates after a fold still win over it
@@ -411,5 +411,43 @@ class IndexerFacadeSpec extends SparkTestBase {
     Thread.sleep(20)
     w.updateDocValues(Term("content", "alpha"), "note" -> "n")
     assert(w.timestamp > t2)
+  }
+  test("write.lock: one writer per directory, readers lock-free, close/rollback/unlock (IndexWriter contract)") {
+    val dir = Files.createTempDirectory("graft-lock").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.add("repo" -> "r", "path" -> "p0", "commit" -> "c", "lang" -> "en", "content" -> "alpha")
+    w.commit()
+    // a second WRITER fails fast (Lucene LockObtainFailedException)
+    val e = intercept[LockObtainFailedException] {
+      new Indexer(spark, dir, idxSchema, srcSchema)
+    }
+    assert(e.getMessage.contains("write-locked"))
+    assert(Indexer.isLocked(spark, dir))
+    // readers never lock and never mutate
+    val r = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
+    assert(r.count(AllDocs) === 1L)
+    intercept[IllegalStateException] {
+      r.add("repo" -> "r", "path" -> "px", "commit" -> "c", "lang" -> "en", "content" -> "x")
+    }
+    // close() commits the pending buffer (reference __exit__) and releases
+    w.add("repo" -> "r", "path" -> "p1", "commit" -> "c", "lang" -> "en", "content" -> "beta")
+    w.close()
+    assert(!Indexer.isLocked(spark, dir))
+    intercept[IllegalStateException] { // AlreadyClosed
+      w.add("repo" -> "r", "path" -> "p2", "commit" -> "c", "lang" -> "en", "content" -> "y")
+    }
+    val w2 = new Indexer(spark, dir, idxSchema, srcSchema)
+    assert(w2.count(AllDocs) === 2L)
+    // stale-lock recovery is an explicit operator action (Lucene unlock)
+    intercept[LockObtainFailedException] { new Indexer(spark, dir, idxSchema, srcSchema) }
+    assert(Indexer.unlock(spark, dir))
+    val w3 = new Indexer(spark, dir, idxSchema, srcSchema) // simulating post-crash reopen
+    // rollback() discards the buffer, keeps committed state, releases the lock
+    w3.add("repo" -> "r", "path" -> "p3", "commit" -> "c", "lang" -> "en", "content" -> "gamma")
+    w3.rollback()
+    assert(!Indexer.isLocked(spark, dir))
+    val check = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
+    assert(check.count(AllDocs) === 2L) // gamma discarded
+    w2.rollback() // release the leaked earlier handle's lock state (no-op on disk: already unlocked)
   }
 }

@@ -113,7 +113,7 @@ class LifecyclePropertySpec extends SparkTestBase {
           w.commit()
           modelCommit()
           if (rnd.nextBoolean()) w.compact()
-          else w = new Indexer(spark, dir, idxSchema, srcSchema)
+          else { w.close(); w = new Indexer(spark, dir, idxSchema, srcSchema) }
           check()
       }
     }
