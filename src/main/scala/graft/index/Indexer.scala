@@ -298,7 +298,17 @@ final class Indexer(
     }
     pendingDeletes.clear()
     refresh()
+    // write-side maintenance (Lucene MergePolicy runs merges automatically
+    // as segments accumulate): bound the live segment count so a long
+    // add/commit loop cannot grow an unbounded micro-segment tail
+    if (autoMergeSegments > 0) forceMerge(autoMergeSegments)
   }
+
+  /** When > 0, every commit() folds the smallest live segments down to this
+    * many (Lucene's automatic MergePolicy, opt-in). 0 = merges only on
+    * explicit [[forceMerge]]/`commit(merge=)`.
+    */
+  var autoMergeSegments: Int = 0
 
   /** Latest committed view, tombstones applied. A never-committed directory
     * behaves as an empty index (the reference supports querying one). The
@@ -426,6 +436,142 @@ final class Indexer(
     refresh()
   }
 
+  // ---------------------------------------------------------------- merging
+
+  /** Live lineage: (segmentId, firstDocId, docsIndexed, bytesCompressed) of
+    * every segment the committed view serves, ascending by id.
+    */
+  private def liveSegmentMeta: Seq[(Long, Long, Long, Long)] = {
+    if (!fs.exists(new Path(s"$dir/segments"))) return Seq.empty
+    val live = StreamingIndexer.liveSegmentIds(spark, dir).toSet
+    spark.read.parquet(s"$dir/segments")
+      .filter(col("status") =!= "superseded")
+      .groupBy("segmentId")
+      .agg(min("firstDocId").as("f"), max("docsIndexed").as("d"),
+        max("bytesCompressed").as("b"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(t => live.contains(t._1))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Lucene forceMerge(maxSegments) (reference `commit(merge=N)`,
+    * indexers.py:648-661): fold the SMALLEST live segments (by compressed
+    * bytes — the small-file problem is the thing being fixed) into one until
+    * at most `maxSegments` remain. Unlike [[compact]] this is INCREMENTAL —
+    * big segments are untouched, docIds keep their assigned values (gaps
+    * where tombstoned docs purge), and the cost is proportional to the
+    * folded bytes, not the index: at 100 TB a full rewrite is a cluster-day,
+    * folding the micro-batch tail is minutes.
+    */
+  def forceMerge(maxSegments: Int): Unit = {
+    ensureWritable()
+    require(maxSegments >= 1, s"maxSegments must be >= 1 (got $maxSegments)")
+    val live = liveSegmentMeta
+    if (live.length <= maxSegments) return
+    mergeSegments(live.sortBy(m => (m._4, m._1)).take(live.length - maxSegments + 1))
+  }
+
+  /** Lucene forceMergeDeletes (reference `commit(merge=True)`): fold every
+    * live segment holding tombstoned docs into one purged segment. The
+    * tombstone table itself is untouched (pins name its part-files); its
+    * entries for purged docs become vacuous no-ops.
+    */
+  def forceMergeDeletes(): Unit = {
+    ensureWritable()
+    if (!fs.exists(new Path(s"$dir/deletes"))) return
+    val live = liveSegmentMeta
+    if (live.isEmpty) return
+    val del = spark.read.parquet(s"$dir/deletes").select("docId").distinct()
+    val affected = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs")
+      .filter(col("segment").isin(live.map(_._1): _*))
+      .join(del, Seq("docId"))
+      .select("segment").distinct()
+      .collect().map(_.getAs[Number]("segment").longValue()).toSet
+    if (affected.isEmpty) return
+    mergeSegments(live.filter(m => affected.contains(m._1)))
+  }
+
+  /** commit + forceMerge(maxSegments) — the reference's `commit(merge=N)`. */
+  def commit(merge: Int): Unit = { commit(); forceMerge(merge) }
+
+  /** commit + forceMergeDeletes — the reference's `commit(merge=True)`. */
+  def commit(mergeDeletes: Boolean): Unit = { commit(); if (mergeDeletes) forceMergeDeletes() }
+
+  /** Fold the given segments into ONE new segment. docIds are global (each
+    * append rebased them past all priors), so the fold is file-level: union
+    * the docs, union the posting blocks — no re-tokenize, no docId remap.
+    * Docs tombstoned at merge time are PURGED from both (Lucene merges drop
+    * deleted docs; docFreq/docCount/avgdl shrink accordingly, exactly as a
+    * fresh index over the live rows would report). Purging the blocks is an
+    * EQUI-join: blocks never span a salt bucket, so each block meets only
+    * its own bucket's tombstones — no broadcast of the full delete set, no
+    * range join. Sources are marked `superseded` in the lineage; their
+    * directories stay on disk so pinned commits keep resolving
+    * ([[snapshot]]/[[copy]]), and [[compact]] remains the vacuum.
+    *
+    * Crash-safe: the new segment's directories are fully written BEFORE the
+    * single lineage append that publishes them — a crash in between leaves
+    * an orphan directory that open() never serves (it reads live lineage
+    * ids only) and that a retry overwrites.
+    */
+  private def mergeSegments(metas: Seq[(Long, Long, Long, Long)]): Unit = {
+    require(metas.nonEmpty)
+    import spark.implicits._
+    val ids = metas.map(_._1)
+    val newId = nextSegId
+    val t0 = System.nanoTime()
+    val delOpt =
+      if (fs.exists(new Path(s"$dir/deletes")))
+        Some(spark.read.parquet(s"$dir/deletes").select("docId").distinct())
+      else None
+    val docs0 = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs")
+      .filter(col("segment").isin(ids: _*)).drop("segment")
+    val docs = delOpt.fold(docs0)(d => docs0.join(d, Seq("docId"), "left_anti"))
+    docs.write.mode("overwrite").parquet(s"$dir/docs/segment=$newId")
+
+    val blockCols = Seq("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf",
+      "sumTf", "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob",
+      "payloadsBlob", "offsetsBlob")
+    val blocks0 = IndexBuilder.readPostings(spark, s"$dir/postings")
+      .filter(col("segment").isin(ids: _*))
+      .select(blockCols.map(col): _*)
+    val blocks = delOpt.fold(blocks0) { d =>
+      val delB = d
+        .groupBy(shiftrightunsigned(col("docId"), IndexBuilder.SaltShift).as("bucket"))
+        .agg(sort_array(collect_list(col("docId"))).as("dels"))
+      blocks0
+        .withColumn("bucket", shiftrightunsigned(col("firstDocId"), IndexBuilder.SaltShift))
+        .join(delB, Seq("bucket"), "left")
+        .select(struct(blockCols.map(col): _*).as("b"), col("dels"))
+        .as[(PostingBlock, Array[Long])]
+        .flatMap { case (b, dels) =>
+          if (dels == null || dels.isEmpty) Iterator.single(b)
+          else {
+            val keep = PostingCodec.decodeBlock(b, withPositions = true,
+                withPayloads = true, withOffsets = true)
+              .filterNot(p => java.util.Arrays.binarySearch(dels, p.docId) >= 0)
+            if (keep.isEmpty) Iterator.empty
+            else if (keep.length == b.numDocs) Iterator.single(b)
+            else Iterator.single(PostingCodec.encodeBlock(b.field, b.term, keep.toSeq))
+          }
+        }
+        .toDF(blockCols: _*)
+    }
+    blocks.write.mode("overwrite").parquet(s"$dir/postings/segment=$newId")
+
+    val n = spark.read.parquet(s"$dir/docs/segment=$newId").count()
+    val (np, nb) = CheckpointedBuild.segmentMetrics(
+      spark.read.parquet(s"$dir/postings/segment=$newId"))
+    val rows = CheckpointedBuild.SegmentMeta(newId.toInt, metas.map(_._2).min, n, np, nb,
+        (System.nanoTime() - t0) / 1e9, "merged") +:
+      ids.map(id => CheckpointedBuild.SegmentMeta(id.toInt, 0L, 0L, 0L, 0L, 0.0, "superseded"))
+    // ONE append publishes the merge atomically (merged row + all markers in
+    // a single part-file): readers see the fold entirely or not at all
+    spark.createDataset(rows).coalesce(1).write.mode("append").parquet(s"$dir/segments")
+    refresh()
+  }
+
   /** Drop the CONTENT of all archived (pre-compaction) commits — releases
     * every pin taken before the last compact (Lucene snapshot release +
     * deletion policy). The empty generation directories remain as markers so
@@ -456,8 +602,7 @@ final class Indexer(
     }
     val segs =
       if (!fs.exists(new Path(s"$dir/segments"))) Seq.empty[Long]
-      else spark.read.parquet(s"$dir/segments")
-        .select("segmentId").distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+      else StreamingIndexer.liveSegmentIds(spark, dir).sorted // merged-away dirs stay pinned via old pins only
     // epoch = the archive generation the NEXT compact would move this commit
     // to; segment ids restart per compaction, so the epoch disambiguates a
     // pre-compact pin's segment=0 from a post-compact live segment=0
@@ -503,8 +648,12 @@ final class Indexer(
     // (Lucene .liv / dv-gen files); files appended after the pin are not seen
     pin.deleteFiles.foreach(f => copyPath(s"deletes/$f"))
     pin.dvGens.foreach(g => copyPath(s"dvupdates/$g"))
+    // keep only the pinned segments' COMMIT rows: a "superseded" marker is
+    // a post-pin merge publishing — copying it would make the destination
+    // read its own pinned segments as dead (and open empty)
     spark.read.parquet(resolve("segments").toString)
-      .filter(col("segmentId").isin(pin.segmentIds.map(_.toInt): _*))
+      .filter(col("segmentId").isin(pin.segmentIds.map(_.toInt): _*) &&
+        col("status") =!= "superseded")
       .write.mode("overwrite").parquet(s"$dst/segments")
   }
 
@@ -517,9 +666,12 @@ final class Indexer(
     */
   def segments: Map[Int, Long] = {
     if (!fs.exists(new Path(s"$dir/segments"))) return Map.empty
+    val live = StreamingIndexer.liveSegmentIds(spark, dir).map(_.toInt).toSet
     spark.read.parquet(s"$dir/segments")
+      .filter(col("status") =!= "superseded")
       .groupBy("segmentId").agg(max("docsIndexed").as("d"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .filter(kv => live.contains(kv._1)).toMap
   }
 
   def refresh(): Unit = {

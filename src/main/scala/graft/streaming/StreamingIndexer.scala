@@ -42,11 +42,14 @@ object StreamingIndexer {
 
     // docId offset = docs committed by prior segments, rounded up to a salt
     // bucket so rebased blocks stay WAND-co-partitionable (dedup replayed rows)
+    // ATOM segments only (status "committed"): a merged segment's docs reuse
+    // its sources' docId ranges, so counting it would double the offset and
+    // every post-merge append would leak an unbounded docId gap
     val offset =
       if (!fs.exists(new Path(s"$dir/segments"))) 0L
       else {
         val rows = spark.read.parquet(s"$dir/segments")
-          .filter(col("segmentId") < segId)
+          .filter(col("segmentId") < segId && col("status") === "committed")
           .groupBy("segmentId").agg(max("docsIndexed").as("d"))
           .agg(sum(IndexBuilder.nextBucketStartCol(col("d")))).collect()
         if (rows.isEmpty || rows(0).isNullAt(0)) 0L else rows(0).getLong(0)
@@ -72,13 +75,32 @@ object StreamingIndexer {
     */
   def open(spark: SparkSession, dir: String, schema: IndexSchema): Index = {
     import spark.implicits._
-    val docs = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs").drop("segment")
+    // read ONLY live segments (partition-pruned): a merge supersedes its
+    // sources in the lineage but leaves their directories on disk for pins —
+    // and a merge that crashed pre-lineage leaves an orphan dir that must
+    // not be served
+    val live = liveSegmentIds(spark, dir)
+    val docs = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs")
+      .filter(col("segment").isin(live: _*)).drop("segment")
     val blocks = IndexBuilder.readPostings(spark, s"$dir/postings")
+      .filter(col("segment").isin(live: _*))
       .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
         "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob", "payloadsBlob", "offsetsBlob")
       .as[PostingBlock]
     new Index(spark, schema, docs, blocks, IndexBuilder.termDictOf(blocks),
       IndexBuilder.fieldStatsOf(blocks))
+  }
+
+  /** Segment ids the committed view serves: ids with a "committed"/"merged"
+    * lineage row and no "superseded" marker (their directories were folded
+    * into a merged segment and remain on disk only for pinned commits).
+    */
+  def liveSegmentIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val byId = spark.read.parquet(s"$dir/segments")
+      .groupBy("segmentId")
+      .agg(max(when(col("status") === "superseded", 1).otherwise(0)).as("dead"))
+    byId.filter(col("dead") === 0).select("segmentId")
+      .collect().map(_.getInt(0).toLong).toSeq
   }
 
   /** Monotone version for cache validation (reference `version`): the

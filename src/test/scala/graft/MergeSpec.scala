@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.index._
+import graft.query._
+import graft.streaming.StreamingIndexer
+
+/** Incremental segment merging — Lucene forceMerge(N) / forceMergeDeletes
+  * (reference `Indexer.commit(merge=)`, indexers.py:648-661): folding must
+  * never change the visible state, must purge tombstoned docs like a Lucene
+  * merge, and must leave pinned commits resolvable.
+  */
+class MergeSpec extends SparkTestBase {
+
+  val srcSchema = StructType(Seq(
+    StructField("repo", StringType), StructField("path", StringType),
+    StructField("commit", StringType), StructField("lang", StringType),
+    StructField("content", StringType)))
+
+  val idxSchema = IndexSchema(
+    keyColumns = Seq("repo", "path", "commit"),
+    fields = Map("content" -> TextField("standard", positions = true), "lang" -> KeywordField))
+
+  private def writer(dir: String) = new Indexer(spark, dir, idxSchema, srcSchema)
+
+  private def addDoc(w: Indexer, p: String, text: String, lang: String = "en"): Unit =
+    w.add("repo" -> "r", "path" -> p, "commit" -> "c", "lang" -> lang, "content" -> text)
+
+  /** (path, quantized score) of a top-k search — docId-independent. */
+  private def hits(w: Indexer, q: Query, k: Int = 20): Seq[(String, Long)] =
+    w.search(q, k).join(w.searcher.index.docs, "docId")
+      .select(col("path"), (col("score") * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+
+  test("forceMerge(N): folds smallest segments, state identical, lineage supersedes") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    val w = writer(dir)
+    // four commits = four segments of different sizes
+    for (s <- 0 until 4) {
+      for (d <- 0 to s) addDoc(w, s"p$s-$d", s"alpha seg$s common term$d data")
+      w.commit()
+    }
+    assert(StreamingIndexer.liveSegmentIds(spark, dir).length === 4)
+    val v0 = w.version
+    val before = (w.count(AllDocs), w.count(Term("content", "alpha")),
+      hits(w, Term("content", "common")), hits(w, Term("content", "seg2")))
+
+    w.forceMerge(2)
+    assert(StreamingIndexer.liveSegmentIds(spark, dir).length === 2)
+    assert(w.segments.size === 2)
+    assert(w.version > v0) // monotone: the merged segment is a new id
+    val after = (w.count(AllDocs), w.count(Term("content", "alpha")),
+      hits(w, Term("content", "common")), hits(w, Term("content", "seg2")))
+    assert(after === before)
+    // the biggest segment (seg 3: 4 docs) was NOT folded
+    val liveDocs = w.segments.values.toSeq.sorted
+    assert(liveDocs === Seq(4L, 6L))
+
+    // a fresh handle serves the merged lineage identically
+    w.close()
+    val r = writer(dir)
+    assert((r.count(AllDocs), r.count(Term("content", "alpha")),
+      hits(r, Term("content", "common")), hits(r, Term("content", "seg2"))) === before)
+
+    // appends after a merge keep docIds collision-free
+    addDoc(r, "pNew", "alpha fresh")
+    r.commit()
+    assert(r.count(AllDocs) === before._1 + 1)
+    assert(r.count(Term("content", "fresh")) === 1L)
+    // scores legitimately shift with the new doc (docCount/avgdl grew) —
+    // the HIT SET stays right
+    assert(hits(r, Term("content", "seg2")).map(_._1) === before._4.map(_._1))
+    // noop below the target count
+    val liveNow = StreamingIndexer.liveSegmentIds(spark, dir).length
+    r.forceMerge(liveNow)
+    assert(StreamingIndexer.liveSegmentIds(spark, dir).length === liveNow)
+    r.close()
+  }
+
+  test("forceMergeDeletes: purges tombstoned docs from docs AND blocks; equals a fresh index") {
+    val dir = Files.createTempDirectory("graft-mergedel").toString
+    val w = writer(dir)
+    val texts = (0 until 30).map(i => s"doc$i shared data ${if (i % 3 == 0) "drop" else "keep"} x$i")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      addDoc(w, s"p$i", t)
+      if (i % 10 == 9) w.commit() // three segments
+    }
+    w.delete(Term("content", "drop"))
+    w.commit()
+    val liveBefore = w.count(AllDocs)
+    assert(liveBefore === 20L)
+
+    w.forceMergeDeletes()
+    // every segment held deletes ⇒ one merged segment
+    assert(StreamingIndexer.liveSegmentIds(spark, dir).length === 1)
+    assert(w.count(AllDocs) === 20L)
+    assert(w.count(Term("content", "drop")) === 0L)
+
+    // physical purge: the merged docs dir has no tombstoned rows, and the
+    // blocks shed them too (the sentinel term "" counts docs per field)
+    val mergedId = StreamingIndexer.liveSegmentIds(spark, dir).head
+    val rawDocs = spark.read.parquet(s"$dir/docs/segment=$mergedId")
+    assert(rawDocs.count() === 20L)
+    val sentinelDocs = spark.read.parquet(s"$dir/postings/segment=$mergedId")
+      .filter(col("term") === "" && col("field") === "content")
+      .agg(org.apache.spark.sql.functions.sum("numDocs"))
+      .collect()(0).getLong(0)
+    assert(sentinelDocs === 20L)
+
+    // post-purge scoring equals a FRESH index over only the live rows
+    // (docFreq/docCount/avgdl shrink exactly like a Lucene merge)
+    val freshDir = Files.createTempDirectory("graft-mergedel-fresh").toString
+    val f = writer(freshDir)
+    texts.zipWithIndex.filterNot(_._2 % 3 == 0).foreach { case (t, i) => addDoc(f, s"p$i", t) }
+    f.commit()
+    for (q <- Seq(Term("content", "shared"), Term("content", "keep"),
+        Query.phrase("content", "shared", "data"))) {
+      assert(hits(w, q) === hits(f, q), q.toString)
+    }
+    f.close(); w.close()
+  }
+
+  test("pins survive merges; commit(merge=) reference forms") {
+    val dir = Files.createTempDirectory("graft-mergepin").toString
+    val w = writer(dir)
+    addDoc(w, "p0", "alpha one"); w.commit()
+    addDoc(w, "p1", "alpha two"); w.commit()
+    val pin = w.snapshot() // pins the two pre-merge segments
+    addDoc(w, "p2", "alpha three")
+    w.commit(merge = 1) // reference commit(merge=N): fold everything live
+    assert(StreamingIndexer.liveSegmentIds(spark, dir).length === 1)
+    assert(w.count(Term("content", "alpha")) === 3L)
+    // the pinned (superseded) segment dirs are still on disk — copy() works
+    val dst = Files.createTempDirectory("graft-mergepin-dst").toString
+    w.copy(pin, dst)
+    val r = new Indexer(spark, dst, idxSchema, srcSchema, readOnly = true)
+    assert(r.count(Term("content", "alpha")) === 2L) // the pinned commit, pre-merge
+    // commit(mergeDeletes = true) — bool form folds only segments with deletes
+    w.delete(Term("content", "three"))
+    w.commit(mergeDeletes = true)
+    assert(w.count(Term("content", "alpha")) === 2L)
+    assert(w.count(Term("content", "three")) === 0L)
+    w.close()
+  }
+  test("autoMergeSegments: commit() keeps the live segment tail bounded (MergePolicy)") {
+    val dir = Files.createTempDirectory("graft-automerge").toString
+    val w = writer(dir)
+    w.autoMergeSegments = 2
+    for (i <- 0 until 6) {
+      addDoc(w, s"p$i", s"alpha doc$i")
+      w.commit()
+      assert(StreamingIndexer.liveSegmentIds(spark, dir).length <= 2, s"after commit $i")
+    }
+    assert(w.count(Term("content", "alpha")) === 6L)
+    (0 until 6).foreach(i => assert(w.count(Term("content", s"doc$i")) === 1L))
+    w.close()
+  }
+}

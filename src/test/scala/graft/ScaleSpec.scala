@@ -177,10 +177,16 @@ class ScaleSpec extends SparkTestBase {
     shortQ.collect()
     assert(!shortQ.queryExecution.executedPlan.toString.contains("LeftSemi"))
     // save() materializes the gram table; a loaded index serves the filter
-    // from parquet with the gram lookups pushed down to the scan
+    // from parquet with the gram lookups pushed down to the scan. The SIZE
+    // gate applies at every layout (the stored table removes derivation
+    // cost, not the per-query stages), so force it for the plan assertion.
     val dir = Files.createTempDirectory("graft-grams").toString
     s.index.save(dir)
     val loaded = new Searcher(IndexBuilder.load(spark, dir))
+    val storedGated = loaded.terms("content", "mergebatch", distance = 1)
+    storedGated.collect()
+    assert(!storedGated.queryExecution.executedPlan.toString.contains("termgrams"))
+    loaded.fuzzyGramMinDictSize = 0L
     val stored = loaded.terms("content", "mergebatch", distance = 1)
     val viaStored = stored.collect().map(_.getString(0)).toSeq
     assert(viaStored === s.terms("content", "mergebatch", distance = 1)
