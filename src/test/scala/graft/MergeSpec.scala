@@ -111,6 +111,10 @@ class MergeSpec extends SparkTestBase {
       .collect()(0).getLong(0)
     assert(sentinelDocs === 20L)
 
+    // CheckIndex on the purged view: re-encoded blocks must keep exact
+    // numDocs/skip-pointer/maxTf/sumTf metadata and agree with the termDict
+    w.searcher.index.check()
+
     // post-purge scoring equals a FRESH index over only the live rows
     // (docFreq/docCount/avgdl shrink exactly like a Lucene merge)
     val freshDir = Files.createTempDirectory("graft-mergedel-fresh").toString
@@ -157,6 +161,40 @@ class MergeSpec extends SparkTestBase {
     }
     assert(w.count(Term("content", "alpha")) === 6L)
     (0 until 6).foreach(i => assert(w.count(Term("content", s"doc$i")) === 1L))
+    w.close()
+  }
+  test("forceMergeDeletes is incremental: segments without deletes are untouched on disk") {
+    val dir = Files.createTempDirectory("graft-mergeincr").toString
+    val w = writer(dir)
+    // one BIG segment (no deletes will land here) ...
+    for (i <- 0 until 50) addDoc(w, s"big$i", s"alpha stable bulk$i")
+    w.commit()
+    // ... then three small segments, deletes only among these
+    for (s <- 0 until 3) {
+      for (d <- 0 until 4) addDoc(w, s"s$s-$d", s"alpha tail ${if (d == 0) "drop" else "keep"} t$s$d")
+      w.commit()
+    }
+    w.delete(Term("content", "drop"))
+    w.commit()
+    val bigId = StreamingIndexer.liveSegmentIds(spark, dir).min
+    def fileState(sub: String) = {
+      val d = new java.io.File(s"$dir/$sub/segment=$bigId")
+      d.listFiles.map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val docsBefore = fileState("docs")
+    val postsBefore = fileState("postings")
+
+    w.forceMergeDeletes()
+    // the big segment is still served AS-IS — its files were never rewritten
+    // (merge cost ∝ segments holding deletes, not the index: the 100-TB story)
+    val live = StreamingIndexer.liveSegmentIds(spark, dir)
+    assert(live.contains(bigId))
+    assert(live.length === 2) // big + one purged fold of the three tails
+    assert(fileState("docs") === docsBefore)
+    assert(fileState("postings") === postsBefore)
+    assert(w.count(Term("content", "alpha")) === 50L + 9L)
+    assert(w.count(Term("content", "drop")) === 0L)
+    assert(w.count(Term("content", "stable")) === 50L)
     w.close()
   }
 }
