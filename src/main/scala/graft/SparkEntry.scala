@@ -223,6 +223,25 @@ object SparkEntry {
     }),
 
     // ---- training-data pipeline ops (graft.ops) -------------------------
+    // near-dup CLUSTERING (the step after pair verification): exact-dup
+    // groups are chained ADJACENT-ONLY (doc → +10000 → +20000, no direct
+    // doc → +20000 edge), so the component closure must be transitive —
+    // computed by distributed min-label propagation (Dedup.connectedComponents)
+    "q_dedup_clusters" -> ((sp, dir) => {
+      val docs = sp.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val keyed = planted.withColumn("h", md5(col("text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("doc_id")
+      val edges = keyed.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      graft.ops.Dedup.connectedComponents(edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+    }),
     "q_token_stats" -> ((sp, dir) => {
       searcher(sp, dir).index.docs
         .select(col("docId").as("docid"),
@@ -499,6 +518,25 @@ object SparkEntry {
       "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents",
 
     // ---- training-data pipeline ops -------------------------------------
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 15
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 15
+        |), keyed AS (
+        |  SELECT doc_id, md5(text) AS h FROM planted
+        |), lagged AS (
+        |  SELECT lag(doc_id) OVER (PARTITION BY h ORDER BY doc_id) AS a, doc_id AS b FROM keyed
+        |), e AS (
+        |  SELECT a, b FROM lagged WHERE a IS NOT NULL
+        |), sym AS (
+        |  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+        |), reach(id, comp) AS (
+        |  SELECT DISTINCT a AS id, a AS comp FROM sym
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+        |)
+        |SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1""".stripMargin,
     "q_token_stats" -> // over ALL docs (zero-token docs included), unlike the
       // index-side dl CTE whose docs define the field's docCount
       s"""$prelude SELECT c.docid, count(t.term) AS n_tokens

@@ -270,4 +270,52 @@ object Dedup {
     })
     f(toks)
   }
+
+  /** Connected components over a near-dup pair list — the clustering step a
+    * training-data dedup pipeline runs AFTER candidate verification (group
+    * the verified pairs, keep one representative per group). Returns one row
+    * per vertex: (`id`, `component`) where `component` is the component's
+    * minimum member id (a canonical, deterministic cluster key — and the
+    * conventional "representative to keep").
+    *
+    * Distributed min-label propagation: every vertex starts with itself as
+    * its label; each round every vertex takes the min of its own and its
+    * neighbors' labels (one equi-join + one aggregate per round); fixpoint
+    * in O(component diameter) rounds. Near-dup components are overwhelmingly
+    * tiny (pairs and short chains), so 2-4 rounds settle real corpora; the
+    * loop is driver-paced with a per-round convergence count and a
+    * localCheckpoint to cut the growing lineage (the standard Spark
+    * iterative-graph pattern; for adversarial long-chain graphs the
+    * published alternating large-star/small-star construction — Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014 —
+    * converges in O(log n) rounds and slots in behind the same signature).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("id"), col(bCol).cast("long").as("nbr"))
+      .unionAll(edges.select(col(bCol).cast("long").as("id"), col(aCol).cast("long").as("nbr")))
+      .distinct()
+      .localCheckpoint(true) // read the edge source once, not once per round
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("component").as("ncomp")), Seq("nbr"))
+        .groupBy("id").agg(min("ncomp").as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (col("nmin") < col("component")).as("changed"))
+        .localCheckpoint(true) // cut the per-round lineage growth
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("id", "component")
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(adversarially long chains — switch to the large-star/small-star variant)")
+    labels
+  }
 }

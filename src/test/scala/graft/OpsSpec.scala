@@ -280,4 +280,21 @@ class OpsSpec extends SparkTestBase {
     // single probe = the query bucket alone
     assert(probeSequence(5L, Seq(0.2, 0.3), 1) === Seq(5L))
   }
+
+  test("dedup: connected components — chains close transitively, labels are canonical-min") {
+    val s2 = spark
+    import s2.implicits._
+    // a 4-chain, a pair, a triangle, and a second pair — adjacent edges only
+    val edges = Seq((1L, 0L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (31L, 30L)).toDF("id_a", "id_b")
+    val cc = graft.ops.Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+    // pathological long chain: still converges (diameter-bounded rounds)
+    val chain = (0 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val ccChain = graft.ops.Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ccChain.toSeq === Seq(0L))
+  }
 }
