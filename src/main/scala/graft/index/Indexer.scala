@@ -493,7 +493,7 @@ final class Indexer(
   }
 
   /** commit + forceMerge(maxSegments) — the reference's `commit(merge=N)`. */
-  def commit(merge: Int): Unit = { commit(); forceMerge(merge) }
+  def commit(merge: Int): Unit = { commit(); if (merge > 0) forceMerge(merge) } // 0 = falsy, no merge
 
   /** commit + forceMergeDeletes — the reference's `commit(merge=True)`. */
   def commit(mergeDeletes: Boolean): Unit = { commit(); if (mergeDeletes) forceMergeDeletes() }

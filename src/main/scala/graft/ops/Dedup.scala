@@ -278,17 +278,19 @@ object Dedup {
     * minimum member id (a canonical, deterministic cluster key — and the
     * conventional "representative to keep").
     *
-    * Distributed min-label propagation: every vertex starts with itself as
-    * its label; each round every vertex takes the min of its own and its
-    * neighbors' labels (one equi-join + one aggregate per round); fixpoint
-    * in O(component diameter) rounds. Near-dup components are overwhelmingly
-    * tiny (pairs and short chains), so 2-4 rounds settle real corpora; the
-    * loop is driver-paced with a per-round convergence count and a
-    * localCheckpoint to cut the growing lineage (the standard Spark
-    * iterative-graph pattern; for adversarial long-chain graphs the
-    * published alternating large-star/small-star construction — Kiveris et
-    * al., "Connected Components in MapReduce and Beyond", SoCC 2014 —
-    * converges in O(log n) rounds and slots in behind the same signature).
+    * Distributed min-label propagation with pointer jumping: every vertex
+    * starts with itself as its label; each round takes the min of its own
+    * and its neighbors' labels (one equi-join + one aggregate), then
+    * shortcuts through its label's own label (label ← label(label), one
+    * more equi-join) — the pointer-jumping step halves chain depth per
+    * round, so fixpoint lands in O(log diameter) rounds even for
+    * adversarial path graphs (the same doubling idea behind Kiveris et
+    * al.'s large-star/small-star construction, "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Near-dup components are
+    * overwhelmingly tiny (pairs and short chains), so 2-3 rounds settle
+    * real corpora. The loop is driver-paced with a per-round convergence
+    * check and a localCheckpoint to cut the growing lineage (the standard
+    * Spark iterative-graph pattern).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -305,12 +307,18 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("nbr"), col("component").as("ncomp")), Seq("nbr"))
         .groupBy("id").agg(min("ncomp").as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
-          (col("nmin") < col("component")).as("changed"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true) // read once below (left side + jump table)
+      // pointer jumping: label ← min(label, label(label)) — halves chain
+      // depth each round, O(log diameter) total
+      val jumpTbl = stepped.select(col("id").as("component"), col("component").as("jump"))
+      val next = stepped.join(jumpTbl, Seq("component"), "left")
+        .select(col("id"), col("prev"),
+          least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
         .localCheckpoint(true) // cut the per-round lineage growth
-      converged = next.filter(col("changed")).isEmpty
+      converged = next.filter(col("component") < col("prev")).isEmpty
       labels = next.select("id", "component")
       it += 1
     }

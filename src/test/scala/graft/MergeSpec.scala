@@ -143,10 +143,14 @@ class MergeSpec extends SparkTestBase {
     w.copy(pin, dst)
     val r = new Indexer(spark, dst, idxSchema, srcSchema, readOnly = true)
     assert(r.count(Term("content", "alpha")) === 2L) // the pinned commit, pre-merge
+    // merge=0 is the reference's falsy form: commit only, no merge
+    addDoc(w, "p3", "alpha four")
+    w.commit(merge = 0)
+    assert(StreamingIndexer.liveSegmentIds(spark, dir).length === 2)
     // commit(mergeDeletes = true) — bool form folds only segments with deletes
     w.delete(Term("content", "three"))
     w.commit(mergeDeletes = true)
-    assert(w.count(Term("content", "alpha")) === 2L)
+    assert(w.count(Term("content", "alpha")) === 3L)
     assert(w.count(Term("content", "three")) === 0L)
     w.close()
   }
