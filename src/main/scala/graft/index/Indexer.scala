@@ -498,6 +498,33 @@ final class Indexer(
   /** commit + forceMergeDeletes — the reference's `commit(merge=True)`. */
   def commit(mergeDeletes: Boolean): Unit = { commit(); if (mergeDeletes) forceMergeDeletes() }
 
+  /** Reclaim the disk of merge-superseded segments (Lucene's
+    * IndexDeletionPolicy deciding which old commits may drop): a superseded
+    * directory is deletable once no outstanding pin names it. Pins live in
+    * caller memory ([[snapshot]] returns a value), so the caller DECLARES
+    * the pins still outstanding — anything a declared pin names survives.
+    * Segments already moved to `archive/` by a compact are untouched
+    * ([[vacuum]] owns those).
+    *
+    * @return segment ids whose directories were deleted
+    */
+  def vacuumMerged(outstandingPins: Seq[IndexPin] = Seq.empty): Seq[Long] = {
+    ensureWritable()
+    if (!fs.exists(new Path(s"$dir/segments"))) return Seq.empty
+    val live = StreamingIndexer.liveSegmentIds(spark, dir).toSet
+    val all = spark.read.parquet(s"$dir/segments")
+      .select("segmentId").distinct().collect().map(_.getInt(0).toLong)
+    val pinned = outstandingPins.flatMap(_.segmentIds).toSet
+    val dead = all.filterNot(live).filterNot(pinned).sorted.toSeq
+    // report only ids actually reclaimed NOW (idempotent across calls —
+    // a prior vacuum's ids stay dead in the lineage forever)
+    dead.filter { id =>
+      Seq("docs", "postings")
+        .map(sub => fs.delete(new Path(s"$dir/$sub/segment=$id"), true))
+        .exists(identity)
+    }
+  }
+
   /** Fold the given segments into ONE new segment. docIds are global (each
     * append rebased them past all priors), so the fold is file-level: union
     * the docs, union the posting blocks — no re-tokenize, no docId remap.

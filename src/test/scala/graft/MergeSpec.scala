@@ -201,4 +201,25 @@ class MergeSpec extends SparkTestBase {
     assert(w.count(Term("content", "stable")) === 50L)
     w.close()
   }
+  test("vacuumMerged reclaims superseded dirs but never a declared pin's") {
+    val dir = Files.createTempDirectory("graft-vacmerge").toString
+    val w = writer(dir)
+    addDoc(w, "p0", "alpha one"); w.commit()
+    addDoc(w, "p1", "alpha two"); w.commit()
+    val pin = w.snapshot()
+    addDoc(w, "p2", "alpha three"); w.commit()
+    w.forceMerge(1)
+    // pin still declared: its two segments survive, the unpinned one drops
+    val dropped = w.vacuumMerged(Seq(pin))
+    assert(dropped.length === 1 && !pin.segmentIds.contains(dropped.head))
+    assert(w.count(Term("content", "alpha")) === 3L) // live view unaffected
+    val dst = Files.createTempDirectory("graft-vacmerge-dst").toString
+    w.copy(pin, dst) // the declared pin still resolves
+    // pin released: everything superseded reclaims; a stale copy now throws
+    val dropped2 = w.vacuumMerged()
+    assert(dropped2.toSet === pin.segmentIds.toSet)
+    intercept[java.io.IOException] { w.copy(pin, Files.createTempDirectory("graft-x").toString) }
+    assert(w.count(Term("content", "alpha")) === 3L)
+    w.close()
+  }
 }
