@@ -84,10 +84,31 @@ object Bench {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
+    // Load screen shared by the sweep and the scaling section: this VM is
+    // thin-provisioned on a shared host; starting a timed section while the
+    // 1-min loadavg is still elevated (outside contention OR our own prior
+    // section's decay) contaminates every number in it.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAXLOAD", "1.75").toDouble
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    /** Wait (bounded) for the host to go quiet; returns the last sample. */
+    def settleLoad(): Double = {
+      var la = loadavg
+      var waits = 0
+      while (la > maxLoad && waits < 10) {
+        System.err.println(f"[bench] loadavg $la%.2f > $maxLoad%.2f — waiting 30s for an idle window")
+        Thread.sleep(30000)
+        waits += 1
+        la = loadavg
+      }
+      la
+    }
+
     // --- contract queries on the sf dir ---------------------------------
     // Failures are LOUD: a broken query records its error (per-query `err` in
     // the JSON) and the process exits nonzero — a failure must never read as
     // a fast wall time.
+    val sweepStartLoad = settleLoad()
     var spark = session(cpus)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
@@ -185,22 +206,43 @@ object Bench {
     // N-leg ran under transient machine load reads as efficiency > 1 (the
     // BENCH_r03 artifact); the median of interleaved pairs + a loadavg stamp
     // per pair lets a reader see and discount contended runs.
+    //
+    // LOAD-SCREENED: this VM is thin-provisioned on a shared host where
+    // outside contention swings results 10-30× (the BENCH_r04 artifact ran
+    // at loadavg 3-6 and its pair efficiencies read [0.49, 0.67, 2.15] —
+    // noise, not scaling). A pair only counts toward the median when the
+    // 1-min loadavg SETTLES ≤ the bound before it starts; loaded attempts
+    // wait out the spike (bounded) and are re-tried. The post-pair sample is
+    // emitted as audit evidence but does NOT gate acceptance — a local[8]
+    // leg legitimately drives its own 1-min loadavg past any useful bound,
+    // so gating on it would reject every honest pair; mid-pair outside
+    // contention is instead absorbed by the median over ≥3 screened pairs.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val scalePairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
-    def loadavg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_ATTEMPTS",
+      (scalePairs * 3).toString).toInt
+    final case class ScalePair(rN: Double, r4N: Double, eff: Double,
+        loadBefore: Double, loadAfter: Double) {
+      def accepted: Boolean = loadBefore <= maxLoad
+    }
     val (rate8, rate32, eff, pairStats) =
       if (doScaling) {
-        val pairs = (1 to scalePairs).map { _ =>
-          val la = loadavg
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[ScalePair]
+        var attempts = 0
+        while (pairs.count(_.accepted) < scalePairs && attempts < maxAttempts) {
+          attempts += 1
+          val before = settleLoad()
           val rN = buildRate(scaleN, benchDocs)
           val r4N = buildRate(scaleN * 4, benchDocs)
-          (rN, r4N, (r4N / rN) / 4.0, la)
+          pairs += ScalePair(rN, r4N, (r4N / rN) / 4.0, before, loadavg)
         }
-        val medianEff = pairs.map(_._3).sorted.apply(pairs.length / 2)
-        val med = pairs.minBy(p => math.abs(p._3 - medianEff)) // the median pair's rates
-        (med._1, med._2, medianEff, pairs)
-      } else (0.0, 0.0, 0.0, Seq.empty[(Double, Double, Double, Double)])
+        // median over load-clean pairs; if the host never went quiet, fall
+        // back to all pairs (loud in the emitted stamps either way)
+        val usable = { val a = pairs.filter(_.accepted); if (a.nonEmpty) a else pairs }
+        val medianEff = usable.map(_.eff).sorted.apply(usable.length / 2)
+        val med = usable.minBy(p => math.abs(p.eff - medianEff)) // the median pair's rates
+        (med.rN, med.r4N, medianEff, pairs.toSeq)
+      } else (0.0, 0.0, 0.0, Seq.empty[ScalePair])
 
     val total = cold.map(_._2).sum
     def fmtMap(m: Seq[(String, Double)]): String =
@@ -214,6 +256,7 @@ object Bench {
     // n_warm_samples so readers can weigh it accordingly.
     json.append(s""","warm_p50_sec":${num(pct(warmVals, 0.5))},"warm_p99_sec":${num(pct(warmVals, 0.99))}""")
     json.append(s""","n_warm_samples":${warmVals.length},"warm_reps_per_query":3""")
+    json.append(s""","sweep_start_loadavg":${num(sweepStartLoad, 2)}""")
     // BM25 retrieval queries alone (the north_rule latency metric), separated
     // from the heavier corpus-analytics ops (dedup/ANN/quality sweeps)
     val searchPrefixes = Seq("q_term", "q_bool", "q_phrase", "q_prefix", "q_count",
@@ -230,10 +273,14 @@ object Bench {
       json.append(s""","build_docs_per_sec_local$scaleN":${num(rate8, 1)}""")
       json.append(s""","build_docs_per_sec_local${scaleN * 4}":${num(rate32, 1)}""")
       json.append(s""","scaling_efficiency_${scaleN}_to_${scaleN * 4}":${num(eff, 3)}""")
-      // per-pair evidence: efficiency of every interleaved pair + the 1-min
-      // loadavg sampled before each (readers discount loaded runs)
-      json.append(s""","scaling_pair_efficiencies":[${pairStats.map(p => num(p._3, 3)).mkString(",")}]""")
-      json.append(s""","scaling_pair_loadavg":[${pairStats.map(p => num(p._4, 2)).mkString(",")}]""")
+      // per-pair evidence: every attempted pair's efficiency + the 1-min
+      // loadavg sampled before AND after it, plus whether it passed the
+      // load screen (the median above uses accepted pairs only)
+      json.append(s""","scaling_load_bound":${num(maxLoad, 2)}""")
+      json.append(s""","scaling_pair_efficiencies":[${pairStats.map(p => num(p.eff, 3)).mkString(",")}]""")
+      json.append(s""","scaling_pair_loadavg":[${pairStats.map(p => num(p.loadBefore, 2)).mkString(",")}]""")
+      json.append(s""","scaling_pair_loadavg_after":[${pairStats.map(p => num(p.loadAfter, 2)).mkString(",")}]""")
+      json.append(s""","scaling_pair_accepted":[${pairStats.map(_.accepted).mkString(",")}]""")
     }
     if (errors.nonEmpty) {
       def qesc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -299,7 +299,9 @@ class Searcher(val index: Index) extends Serializable {
   var fuzzyGramMinDictSize: Long = 1000000L
 
   // one count job, memoized; parquet-backed dictionaries answer from footer
-  // metadata. Only consulted on the derived-grams path.
+  // metadata. Consulted on EVERY fuzzy query regardless of grams layout —
+  // the size gate applies uniformly, so a loaded stored-grams index also
+  // pays this one-time count on its first fuzzy query.
   private lazy val dictTermCount: Long = index.termDict.count()
 
   /** Dictionary view narrowed by the q-gram count filter: a term within
@@ -709,11 +711,43 @@ class Searcher(val index: Index) extends Serializable {
   lazy val wandDecoded: org.apache.spark.util.LongAccumulator =
     spark.sparkContext.longAccumulator("graft.wandDecodedBlocks")
 
+  /** Largest tombstone set WAND will broadcast as a liveDocs filter — the
+    * in-memory analogue of Lucene's per-segment liveDocs bitsets (8 bytes ×
+    * 4M ≈ 32 MB, comfortably under executor broadcast budgets). Beyond it
+    * the top-k disjunction falls back to exhaustive scoring; the operational
+    * answer at that many tombstones is forceMergeDeletes(), which purges
+    * them and restores the broadcast-free WAND path.
+    */
+  var wandMaxTombstones: Int = 4 << 20
+
+  /** Sorted tombstoned docIds for the WAND cursors (None = no deletes), and
+    * whether the set overflowed [[wandMaxTombstones]]. Deletes are immutable
+    * per Index instance, so one collect+sort+broadcast serves every query on
+    * this searcher (Lucene NRT readers likewise pin liveDocs per reader).
+    */
+  private lazy val (wandTombstones, wandTombstonesOverflow):
+      (Option[org.apache.spark.broadcast.Broadcast[Array[Long]]], Boolean) =
+    index.deletes match {
+      case None => (None, false)
+      case Some(d) =>
+        val ids = d.select(col("docId").cast("long")).distinct()
+          .limit(wandMaxTombstones + 1).as[Long].collect()
+        if (ids.length > wandMaxTombstones) (None, true)
+        else {
+          java.util.Arrays.sort(ids)
+          (Some(spark.sparkContext.broadcast(ids)), false)
+        }
+    }
+
   /** Match a query shape WAND can serve: SHOULD-only boolean over Terms of
-    * one field (with optional boosts), or a boosted such query.
+    * one field (with optional boosts), a bare (possibly boosted) Term — the
+    * single-cursor case is Lucene's single-term impacts/BMW: non-competitive
+    * blocks of a hot term skip undecoded via (maxTf, minDlq) bounds — or a
+    * boosted such query.
     */
   private def wandable(q: Query, boost: Double = 1.0): Option[(String, Seq[(String, Double)])] =
     q match {
+      case Term(f, t) => Some((f, Seq((t, boost))))
       case Bool(clauses) if clauses.nonEmpty && clauses.forall(_._1 == Occur.Should) =>
         val terms = clauses.map {
           case (_, Term(f, t))           => Some((f, t, boost))
@@ -738,6 +772,11 @@ class Searcher(val index: Index) extends Serializable {
     * groupBy, non-competitive blocks never decoded.
     */
   def searchWand(field: String, weightedTerms: Seq[(String, Double)], k: Int): DataFrame = {
+    // search() gates this route on the same flag; a direct caller must not
+    // silently surface tombstoned docs when the liveDocs filter can't ship
+    require(!wandTombstonesOverflow,
+      s"tombstone set exceeds wandMaxTombstones ($wandMaxTombstones) — " +
+        "use search() (exhaustive fallback) or forceMergeDeletes() first")
     bm25Weights(field, weightedTerms) match {
       case None => emptyMatches
       case Some((weights, avgdl)) =>
@@ -771,6 +810,7 @@ class Searcher(val index: Index) extends Serializable {
     val kk = k
     val wts = weights
     val acc = wandDecoded // local val: the closure must not capture `this`
+    val tomb = wandTombstones.orNull // Broadcast is serializable; `this` is not shipped
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     index.blocks
       .filter(col("field") === field && col("term").isin(weights.map(_._1).distinct: _*))
@@ -783,9 +823,15 @@ class Searcher(val index: Index) extends Serializable {
       .map(t => graft.index.PostingBlock("", t._1, t._2, t._3, t._4, t._5, t._6, t._7,
         t._8, t._9, t._10, Array.empty[Byte]))
       .mapPartitions { it =>
+        val deleted: Long => Boolean =
+          if (tomb == null) _ => false
+          else {
+            val sorted = tomb.value
+            d => java.util.Arrays.binarySearch(sorted, d) >= 0
+          }
         val byTerm = it.toArray.groupBy(_.term)
         val termBlocks = wts.map { case (t, w) => (w, byTerm.getOrElse(t, Array.empty)) }
-        val r = Wand.topkPartitionFull(termBlocks, avgdl, kk)
+        val r = Wand.topkPartitionFull(termBlocks, avgdl, kk, deleted)
         acc.add(r.decodedBlocks)
         Iterator.single((r.top.map(_._1), r.top.map(_._2), r.scoredDocs, r.pruned))
       }
@@ -800,9 +846,9 @@ class Searcher(val index: Index) extends Serializable {
     * tops are merged on the driver (≤ partitions × k rows — metadata-scale).
     */
   def searchHits(q: Query, k: Int = 10): SearchHits = {
-    if (wandEnabled && k > 0 && index.deletes.isEmpty) {
+    if (wandEnabled && k > 0 && !wandTombstonesOverflow) {
       wandable(q).foreach { case (f, wts0) =>
-        if (wts0.length > 1) {
+        if (wts0.nonEmpty) {
           val (weights, avgdl) = bm25Weights(f, wts0)
             .getOrElse(return SearchHits(emptyMatches, TotalHits(0, exact = true)))
           val per = wandPartitions(f, weights, avgdl, k).collect()
@@ -830,9 +876,9 @@ class Searcher(val index: Index) extends Serializable {
     */
   def search(q: Query, k: Int = 10, sorts: Seq[SortSpec] = Nil,
       select: Seq[String] = Nil): DataFrame = {
-    if (wandEnabled && k > 0 && sorts.isEmpty && select.isEmpty && index.deletes.isEmpty) {
+    if (wandEnabled && k > 0 && sorts.isEmpty && select.isEmpty && !wandTombstonesOverflow) {
       wandable(q).foreach { case (f, wts) =>
-        if (wts.length > 1) return searchWand(f, wts, k)
+        if (wts.nonEmpty) return searchWand(f, wts, k)
       }
     }
     val m = eval(q)
@@ -1356,6 +1402,15 @@ final case class TotalHits(value: Long, exact: Boolean) {
 final case class SearchHits(hits: org.apache.spark.sql.DataFrame, total: TotalHits) {
   /** int ⇔ exact, float ⇔ GTE estimate — the reference's dynamic surface. */
   def count: Any = total.count
+
+  /** Max score of the PRESENT hits — not necessarily of all matches — NaN
+    * when empty (reference Hits.maxscore, documents.py:382-385). Bounded:
+    * aggregates the ≤ k-row hits frame.
+    */
+  def maxscore: Double = {
+    val r = hits.agg(max(col("score"))).collect()(0)
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
 }
 
 /** Position-list matchers for phrase/near queries. Lists arrive sorted

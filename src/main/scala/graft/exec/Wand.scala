@@ -110,9 +110,19 @@ object Wand {
     (r.top, r.decodedBlocks)
   }
 
-  /** [[topkPartition]] with the full [[PartitionResult]] accounting. */
+  /** [[topkPartition]] with the full [[PartitionResult]] accounting.
+    *
+    * @param deleted liveDocs predicate (Lucene's deleted-docs filter,
+    *        MultiBits.getLiveDocs surfaced by the reference at
+    *        indexers.py:98-109): a doc for which this returns true is
+    *        skipped UNSCORED — it never enters the heap and never counts in
+    *        `scoredDocs`, so the result (and the TotalHits accounting) is
+    *        identical to exhaustive scoring over the live view. Block
+    *        upper bounds stay valid (they bound live docs' scores too), so
+    *        pruning remains exact.
+    */
   def topkPartitionFull(termBlocks: Seq[(Double, Array[PostingBlock])], avgdl: Double,
-      k: Int): PartitionResult = {
+      k: Int, deleted: Long => Boolean = _ => false): PartitionResult = {
     // k == 0 would make the heap "full" while empty and theta undefined;
     // all-hits queries take the exhaustive path (Searcher.search k <= 0)
     require(k > 0, s"WAND needs k > 0 (got $k) — use exhaustive scoring for all-hits")
@@ -165,13 +175,19 @@ object Wand {
         while (m <= endIdx) { live(m).advanceTo(target); m += 1 }
         pruned = true // matching docs in the skipped range go uncounted
       } else if (live.head.curDoc == pivotDoc) {
-        var score = 0.0
-        live.foreach { c =>
-          if (c.curDoc == pivotDoc) { score += c.currentScore; c.next() }
+        if (deleted(pivotDoc)) {
+          // tombstoned: hop over without scoring — not a match of the live
+          // view, so neither `scoredDocs` nor `pruned` moves
+          live.foreach { c => if (c.curDoc == pivotDoc) c.next() }
+        } else {
+          var score = 0.0
+          live.foreach { c =>
+            if (c.curDoc == pivotDoc) { score += c.currentScore; c.next() }
+          }
+          scoredDocs += 1
+          if (!full) heap.enqueue((score, pivotDoc))
+          else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, pivotDoc)) }
         }
-        scoredDocs += 1
-        if (!full) heap.enqueue((score, pivotDoc))
-        else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, pivotDoc)) }
       } else {
         // cursors before the pivot hop over their sub-theta docs unscored;
         // pivotIdx > 0 requires a full heap (theta < 0 pivots at index 0)

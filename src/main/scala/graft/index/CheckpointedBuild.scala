@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object CheckpointedBuild {
 
+  /** One lineage row. `maxDocId` closes the segment's covering docId
+    * interval [firstDocId, maxDocId]: dense `firstDocId + docsIndexed − 1`
+    * for an appended segment, max of the sources' intervals for a merged one
+    * (whose docIds keep their original values, with gaps where tombstoned
+    * docs purged) — so tombstone→segment discovery is a metadata interval
+    * lookup, never a corpus scan (see Indexer.forceMergeDeletes).
+    */
   final case class SegmentMeta(segmentId: Int, firstDocId: Long, docsIndexed: Long,
-      postingsWritten: Long, bytesCompressed: Long, buildSec: Double, status: String)
+      postingsWritten: Long, bytesCompressed: Long, buildSec: Double, status: String,
+      maxDocId: Long)
 
   /** (postingsWritten, bytesCompressed) of one committed segment's blocks —
     * the single definition both the checkpointed and streaming writers use.
@@ -70,7 +78,8 @@ object CheckpointedBuild {
         val sec = (System.nanoTime() - t0) / 1e9
         // metrics from the committed (compressed) blocks — cheap re-read
         val (nPostings, nBytes) = segmentMetrics(spark.read.parquet(segDir))
-        val meta = SegmentMeta(k, lo, hi - lo, nPostings, nBytes, sec, "committed")
+        val meta = SegmentMeta(k, lo, hi - lo, nPostings, nBytes, sec, "committed",
+          maxDocId = hi - 1) // docIds are dense within a checkpointed slice
         spark.createDataset(Seq(meta)).write.mode("append").parquet(s"$dir/segments")
       }
     }

@@ -30,6 +30,19 @@ import graft.streaming.StreamingIndexer
 final case class IndexPin(segmentIds: Seq[Long], deleteFiles: Seq[String] = Seq.empty,
     dvGens: Seq[String] = Seq.empty, epoch: Int = 0)
 
+/** Outcome of [[Indexer.check]] (Lucene CheckIndex.Status, surfaced by the
+  * reference's `IndexWriter.check(directory, repair)`, indexers.py:528-536):
+  * the live segments examined, the corrupt ones (empty = clean), the docs
+  * LOST by dropping them (per the lineage's docsIndexed — an upper bound;
+  * some may already have been tombstoned), and each failure's message.
+  * `badSegments` is non-empty only after a `repair = true` run — without
+  * repair, corruption throws instead.
+  */
+final case class CheckReport(checkedSegments: Seq[Long], badSegments: Seq[Long],
+    droppedDocs: Long, errors: Map[Long, String]) {
+  def clean: Boolean = badSegments.isEmpty && errors.isEmpty
+}
+
 /** One writer already holds the directory's `write.lock` (Lucene
   * LockObtainFailedException — the reference's IndexWriter inherits the
   * one-writer-per-directory contract, indexers.py:493-523).
@@ -64,10 +77,14 @@ final class Indexer(
   // write.lock): two writers racing nextSegId would both claim the same
   // segment id and interleave lineage. Readers (readOnly = true — the
   // reference's IndexSearcher-on-a-directory posture) never lock; they see
-  // committed state only. create(overwrite = false) is the atomicity point
-  // (atomic on HDFS-like stores; exists-check + create locally). Crash
-  // recovery mirrors Lucene: the lock file goes stale and the operator
-  // removes it ([[Indexer.unlock]]).
+  // committed state only. The atomicity point is scheme-dependent: on a
+  // local `file:` store, Hadoop's create(overwrite = false) is an
+  // exists-check followed by a create (two racing writers can both win), so
+  // the claim goes through java.nio Files.createFile — O_EXCL, genuinely
+  // atomic on POSIX (Lucene's own NativeFSLockFactory posture); remote
+  // HDFS-like stores get fs.create(path, false), atomic on the NameNode.
+  // Crash recovery mirrors Lucene: the lock file goes stale and the
+  // operator removes it ([[Indexer.unlock]]).
   private val lockPath = new Path(s"$dir/${Indexer.LockName}")
   private var closed = false
   if (!readOnly) {
@@ -78,13 +95,23 @@ final class Indexer(
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.take(120)
         finally in.close()
       } catch { case _: Throwable => "unknown holder" }
+    val stamp = (s"pid ${ProcessHandle.current().pid()}@" +
+      s"${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"since ${java.time.Instant.now()}").getBytes("UTF-8")
+    val qualified = fs.makeQualified(lockPath)
     try {
-      val out = fs.create(lockPath, false)
-      out.write((s"pid ${ProcessHandle.current().pid()}@" +
-        s"${java.net.InetAddress.getLocalHost.getHostName} " +
-        s"since ${java.time.Instant.now()}").getBytes("UTF-8"))
-      out.close()
+      if (qualified.toUri.getScheme == "file") {
+        val nio = java.nio.file.Paths.get(qualified.toUri.getPath)
+        java.nio.file.Files.createFile(nio) // atomic O_EXCL claim
+        java.nio.file.Files.write(nio, stamp)
+      } else {
+        val out = fs.create(lockPath, false)
+        out.write(stamp)
+        out.close()
+      }
     } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new LockObtainFailedException(dir, holder)
       case e: java.io.IOException =>
         if (!fs.exists(lockPath)) throw e // genuine fs failure, not contention
         throw new LockObtainFailedException(dir, holder)
@@ -102,9 +129,23 @@ final class Indexer(
     * non-error `__exit__` (indexers.py:606-611: commit() then close();
     * Lucene commitOnClose default). Idempotent. Use [[rollback]] to discard
     * the uncommitted buffer instead.
+    *
+    * Exception-safe: if the implicit commit throws (transient Spark/FS
+    * failure), the handle still closes and RELEASES write.lock before
+    * rethrowing — a try-with-resources caller must never leak the lock from
+    * a clean process exit (Lucene's close-failure → rollback guidance). The
+    * uncommitted buffer is discarded on that path, exactly as rollback()
+    * would; committed state is untouched.
     */
   override def close(): Unit = if (!closed) {
-    if (!readOnly && (buf.nonEmpty || pendingDeletes.nonEmpty)) commit()
+    try {
+      if (!readOnly && (buf.nonEmpty || pendingDeletes.nonEmpty)) commit()
+    } catch {
+      case e: Throwable =>
+        closed = true
+        if (!readOnly) { try fs.delete(lockPath, false) catch { case _: Throwable => () } }
+        throw e
+    }
     closed = true
     if (!readOnly) { fs.delete(lockPath, false); () }
   }
@@ -121,11 +162,27 @@ final class Indexer(
     if (!readOnly) { fs.delete(lockPath, false); () }
   }
 
-  /** Buffer one document (field → value map; missing fields become null). */
+  /** Driver-side buffer bound (Lucene IndexWriterConfig.setMaxBufferedDocs /
+    * the ramBufferSizeMB flush trigger): `buf` holds the uncommitted batch
+    * in DRIVER memory, so an unbounded add() loop without commit() would
+    * eventually exhaust it. Once this many docs are buffered, add() spills
+    * them as a segment via an implicit commit() — queued deletes resolve
+    * first against the pre-spill view, exactly as an explicit commit, so
+    * operation order (delete-then-add) is preserved across the spill.
+    * 0 disables auto-flush (explicit commit() only). The facade is the
+    * small-batch door — bulk ingest belongs to IndexBuilder/
+    * CheckpointedBuild/StreamingIndexer, which never buffer on the driver.
+    */
+  var maxBufferedDocs: Int = 100000
+
+  /** Buffer one document (field → value map; missing fields become null).
+    * Spills to a committed segment at [[maxBufferedDocs]].
+    */
   def add(doc: (String, Any)*): Unit = {
     ensureWritable()
     val m = doc.toMap
     buf += Row.fromSeq(sourceSchema.fieldNames.toSeq.map(f => m.get(f).orNull))
+    if (maxBufferedDocs > 0 && buf.size >= maxBufferedDocs) commit()
   }
 
   /** Queue a delete-by-query, applied at commit (tombstones). */
@@ -438,19 +495,30 @@ final class Indexer(
 
   // ---------------------------------------------------------------- merging
 
-  /** Live lineage: (segmentId, firstDocId, docsIndexed, bytesCompressed) of
-    * every segment the committed view serves, ascending by id.
+  /** Live lineage: (segmentId, firstDocId, docsIndexed, bytesCompressed,
+    * maxDocId) of every segment the committed view serves, ascending by id.
+    * `maxDocId` closes the segment's covering docId interval (see
+    * [[CheckpointedBuild.SegmentMeta]]); lineage rows written before the
+    * column existed fall back to the dense extent for appended segments and
+    * Long.MaxValue (conservative: always a discovery candidate) for merged
+    * ones, whose extent the old rows cannot reconstruct.
     */
-  private def liveSegmentMeta: Seq[(Long, Long, Long, Long)] = {
+  private def liveSegmentMeta: Seq[(Long, Long, Long, Long, Long)] = {
     if (!fs.exists(new Path(s"$dir/segments"))) return Seq.empty
     val live = StreamingIndexer.liveSegmentIds(spark, dir).toSet
-    spark.read.parquet(s"$dir/segments")
+    val raw = spark.read.parquet(s"$dir/segments")
+    val legacyMax = when(col("status") === "merged", lit(Long.MaxValue))
+      .otherwise(col("firstDocId") + col("docsIndexed") - 1L)
+    val maxCol =
+      if (raw.columns.contains("maxDocId")) coalesce(col("maxDocId"), legacyMax)
+      else legacyMax
+    raw
       .filter(col("status") =!= "superseded")
       .groupBy("segmentId")
       .agg(min("firstDocId").as("f"), max("docsIndexed").as("d"),
-        max("bytesCompressed").as("b"))
+        max("bytesCompressed").as("b"), max(maxCol).as("m"))
       .collect()
-      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .filter(t => live.contains(t._1))
       .sortBy(_._1).toSeq
   }
@@ -479,18 +547,43 @@ final class Indexer(
     */
   def forceMergeDeletes(): Unit = {
     ensureWritable()
+    lastDeleteDiscoveryCandidates = Seq.empty
     if (!fs.exists(new Path(s"$dir/deletes"))) return
     val live = liveSegmentMeta
     if (live.isEmpty) return
+    import spark.implicits._
     val del = spark.read.parquet(s"$dir/deletes").select("docId").distinct()
+    // Discovery WITHOUT a corpus scan: the lineage already knows each live
+    // segment's covering docId interval [firstDocId, maxDocId], so candidates
+    // come from joining the (small) distinct tombstoned docIds against the
+    // broadcast interval list — cost ∝ |deletes| × |segments| over metadata,
+    // never O(corpus). The candidate set can over-approximate (a merged
+    // segment's interval may overlap other live segments' and already-purged
+    // tombstones stay in the table as vacuous no-ops), so a verify join runs
+    // next — but partition-pruned to the CANDIDATE segment directories only,
+    // keeping repeat calls idempotent without rescanning the index.
+    val intervals = live.map(m => (m._1, m._2, m._5)).toDF("segment", "__lo", "__hi")
+    val candidates = del
+      .join(broadcast(intervals), col("docId").between(col("__lo"), col("__hi")))
+      .select("segment").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    lastDeleteDiscoveryCandidates = candidates
+    if (candidates.isEmpty) return
     val affected = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs")
-      .filter(col("segment").isin(live.map(_._1): _*))
+      .filter(col("segment").isin(candidates: _*)) // partition-pruned scan
       .join(del, Seq("docId"))
       .select("segment").distinct()
       .collect().map(_.getAs[Number]("segment").longValue()).toSet
     if (affected.isEmpty) return
     mergeSegments(live.filter(m => affected.contains(m._1)))
   }
+
+  /** Discovery evidence (tests/bench): the candidate segment ids the last
+    * [[forceMergeDeletes]] derived from the LINEAGE intervals before its
+    * partition-pruned verify — the proof the discovery step consulted
+    * metadata, not a corpus scan.
+    */
+  private[graft] var lastDeleteDiscoveryCandidates: Seq[Long] = Seq.empty
 
   /** commit + forceMerge(maxSegments) — the reference's `commit(merge=N)`. */
   def commit(merge: Int): Unit = { commit(); if (merge > 0) forceMerge(merge) } // 0 = falsy, no merge
@@ -525,6 +618,85 @@ final class Indexer(
     }
   }
 
+  /** Per-segment integrity check with an optional repair path (reference
+    * `IndexWriter.check(directory, repair)`, indexers.py:528-536; Lucene
+    * CheckIndex + exorciseIndex). Each live segment is validated in
+    * isolation — its own partition directories only, so one corrupt file
+    * cannot poison the whole sweep — by decoding every posting block and
+    * re-asserting the block invariants (count, skip pointers, monotone
+    * docIds, block-max metadata) plus a doc-store read.
+    *
+    * Without `repair`, any corruption throws (the existing `Index.check`
+    * posture). With `repair = true`, each corrupt segment is EXORCISED:
+    * its directories move to `corrupt/` (quarantine — a bad parquet footer
+    * under docs/ or postings/ would fail every later schema-merged open,
+    * and the dirs stay on disk there for forensics), then it is marked
+    * superseded in the lineage through the same single-append publish the
+    * merge path uses, so readers atomically stop serving it. Quarantine
+    * precedes the marker and both steps are idempotent — a retry after a
+    * crash in between re-detects the missing dir and completes the marker.
+    * The 100 TB recovery story becomes drop-the-segment + re-ingest its
+    * rows (the lineage's per-segment metrics say exactly what was lost).
+    */
+  def check(repair: Boolean = false): CheckReport = {
+    if (repair) ensureWritable()
+    val live = liveSegmentMeta
+    val results: Seq[((Long, Long, Long, Long, Long), Option[String])] = live.map { m =>
+      val id = m._1
+      val err =
+        try {
+          import spark.implicits._
+          IndexBuilder.withBlobDefaults(spark.read.parquet(s"$dir/postings/segment=$id"))
+            .select("field", "term", "firstDocId", "lastDocId", "numDocs", "maxTf", "sumTf",
+              "minDlq", "docsBlob", "freqsBlob", "normsBlob", "positionsBlob",
+              "payloadsBlob", "offsetsBlob")
+            .as[PostingBlock]
+            .foreach { b: PostingBlock =>
+              val ps = PostingCodec.decodeBlock(b, withPositions = true)
+              require(ps.length == b.numDocs, s"numDocs mismatch in ${b.field}:${b.term}")
+              require(ps.head.docId == b.firstDocId && ps.last.docId == b.lastDocId,
+                s"skip-pointer mismatch in ${b.field}:${b.term}")
+              ps.sliding(2).foreach {
+                case Array(a, c) => require(a.docId < c.docId, "non-monotone docIds")
+                case _           =>
+              }
+              require(ps.map(_.tf).max == b.maxTf && ps.map(_.tf.toLong).sum == b.sumTf,
+                s"block-max metadata mismatch in ${b.field}:${b.term}")
+            }
+          spark.read.parquet(s"$dir/docs/segment=$id").select("docId").count()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
+      (m, err)
+    }
+    val bad = results.collect { case (m, Some(e)) => (m, e) }
+    if (bad.isEmpty) return CheckReport(live.map(_._1), Seq.empty, 0L, Map.empty)
+    if (!repair)
+      throw new java.io.IOException(
+        s"corrupt segments [${bad.map(_._1._1).mkString(",")}] in $dir — " +
+          s"first failure: ${bad.head._2}; run check(repair = true) to exorcise them")
+    bad.foreach { case (m, _) =>
+      Seq("docs", "postings").foreach { sub =>
+        val src = new Path(s"$dir/$sub/segment=${m._1}")
+        if (fs.exists(src)) {
+          fs.mkdirs(new Path(s"$dir/corrupt/$sub"))
+          require(fs.rename(src, new Path(s"$dir/corrupt/$sub/segment=${m._1}")),
+            s"quarantine rename failed: $src")
+        }
+      }
+    }
+    import spark.implicits._
+    val markers = bad.map { case (m, _) =>
+      CheckpointedBuild.SegmentMeta(m._1.toInt, 0L, 0L, 0L, 0L, 0.0, "superseded", 0L)
+    }
+    spark.createDataset(markers).coalesce(1).write.mode("append").parquet(s"$dir/segments")
+    refresh()
+    CheckReport(live.map(_._1), bad.map(_._1._1), bad.map(_._1._3).sum,
+      bad.map { case (m, e) => m._1 -> e }.toMap)
+  }
+
   /** Fold the given segments into ONE new segment. docIds are global (each
     * append rebased them past all priors), so the fold is file-level: union
     * the docs, union the posting blocks — no re-tokenize, no docId remap.
@@ -542,7 +714,7 @@ final class Indexer(
     * an orphan directory that open() never serves (it reads live lineage
     * ids only) and that a retry overwrites.
     */
-  private def mergeSegments(metas: Seq[(Long, Long, Long, Long)]): Unit = {
+  private def mergeSegments(metas: Seq[(Long, Long, Long, Long, Long)]): Unit = {
     require(metas.nonEmpty)
     import spark.implicits._
     val ids = metas.map(_._1)
@@ -591,8 +763,9 @@ final class Indexer(
     val (np, nb) = CheckpointedBuild.segmentMetrics(
       spark.read.parquet(s"$dir/postings/segment=$newId"))
     val rows = CheckpointedBuild.SegmentMeta(newId.toInt, metas.map(_._2).min, n, np, nb,
-        (System.nanoTime() - t0) / 1e9, "merged") +:
-      ids.map(id => CheckpointedBuild.SegmentMeta(id.toInt, 0L, 0L, 0L, 0L, 0.0, "superseded"))
+        (System.nanoTime() - t0) / 1e9, "merged",
+        maxDocId = metas.map(_._5).max) +: // union of source intervals, metadata-only
+      ids.map(id => CheckpointedBuild.SegmentMeta(id.toInt, 0L, 0L, 0L, 0L, 0.0, "superseded", 0L))
     // ONE append publishes the merge atomically (merged row + all markers in
     // a single part-file): readers see the fold entirely or not at all
     spark.createDataset(rows).coalesce(1).write.mode("append").parquet(s"$dir/segments")

@@ -290,7 +290,10 @@ object Dedup {
     * overwhelmingly tiny (pairs and short chains), so 2-3 rounds settle
     * real corpora. The loop is driver-paced with a per-round convergence
     * check and a localCheckpoint to cut the growing lineage (the standard
-    * Spark iterative-graph pattern).
+    * Spark iterative-graph pattern). Each round's checkpointed frames are
+    * UNPERSISTED once the next round's are materialized — a long-lived
+    * pipeline session holds at most one round's working set in executor
+    * storage, not maxIter × 3 pinned datasets.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -319,11 +322,35 @@ object Dedup {
           least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
         .localCheckpoint(true) // cut the per-round lineage growth
       converged = next.filter(col("component") < col("prev")).isEmpty
+      // `next` is materialized (eager checkpoint) + the convergence check ran:
+      // the previous round's blocks are dead — free them NOW, not at GC
+      unpersistCheckpoint(labels)
+      unpersistCheckpoint(stepped)
       labels = next.select("id", "component")
       it += 1
     }
+    lastCcRounds = it
+    unpersistCheckpoint(sym) // the edge working set is dead once labels settle
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "(adversarially long chains — switch to the large-star/small-star variant)")
+    // NB: the final `labels` frame stays persisted for the caller's
+    // downstream consumption; the ContextCleaner releases it when the
+    // returned frame goes out of scope.
     labels
   }
+
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * plan-shape evidence for tests/bench (O(log diameter) bound).
+    */
+  @volatile var lastCcRounds: Int = 0
+
+  /** Drop the persisted blocks behind an eager `localCheckpoint` frame.
+    * `Dataset.unpersist` only releases CacheManager entries, but a local
+    * checkpoint pins its data as the underlying RDD's storage blocks — reach
+    * through the `LogicalRDD` leaf (public Spark API) and unpersist the RDD.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+    }.foreach { lr => lr.rdd.unpersist(false); () }
 }

@@ -66,7 +66,8 @@ object StreamingIndexer {
     val (nPostings, nBytes) =
       CheckpointedBuild.segmentMetrics(spark.read.parquet(s"$dir/postings/segment=$segId"))
     val meta = CheckpointedBuild.SegmentMeta(segId.toInt, offset, n,
-      nPostings, nBytes, (System.nanoTime() - t0) / 1e9, "committed")
+      nPostings, nBytes, (System.nanoTime() - t0) / 1e9, "committed",
+      maxDocId = offset + n - 1) // prepareDocs assigns dense [0, n) + offset
     spark.createDataset(Seq(meta)).write.mode("append").parquet(s"$dir/segments")
   }
 

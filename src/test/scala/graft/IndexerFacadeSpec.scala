@@ -450,4 +450,57 @@ class IndexerFacadeSpec extends SparkTestBase {
     assert(check.count(AllDocs) === 2L) // gamma discarded
     w2.rollback() // release the leaked earlier handle's lock state (no-op on disk: already unlocked)
   }
+
+  test("maxBufferedDocs: adds spill to intermediate segments without explicit commit() " +
+      "(Lucene ramBufferSizeMB/setMaxBufferedDocs flush)") {
+    val dir = Files.createTempDirectory("graft-autoflush").toString
+    val w = new Indexer(spark, dir, idxSchema, srcSchema)
+    w.maxBufferedDocs = 5
+    for (i <- 0 until 12)
+      w.add("repo" -> "r", "path" -> s"p$i", "commit" -> "c", "lang" -> "en",
+        "content" -> s"alpha doc$i")
+    // two spills landed (at 5 and 10) as real segments; 2 docs still buffered
+    assert(w.segments.size === 2)
+    assert(w.segments.values.toSeq.sorted === Seq(5L, 5L))
+    assert(w.count(Term("content", "alpha")) === 10L)
+    assert(!w.current) // the buffered tail is writer state the view lacks
+    w.commit()
+    assert(w.segments.size === 3)
+    assert(w.count(Term("content", "alpha")) === 12L)
+    w.close()
+    // durable: a fresh reader serves all 12
+    val r = new Indexer(spark, dir, idxSchema, srcSchema, readOnly = true)
+    assert(r.count(Term("content", "alpha")) === 12L)
+
+    // delete-then-add order survives a spill: a delete queued BEFORE the
+    // spilling adds resolves against the pre-spill view, so it never
+    // tombstones the adds it preceded (IndexWriter.updateDocument parity)
+    val dir2 = Files.createTempDirectory("graft-autoflush2").toString
+    val w2 = new Indexer(spark, dir2, idxSchema, srcSchema)
+    w2.add("repo" -> "r", "path" -> "old", "commit" -> "c", "lang" -> "en",
+      "content" -> "legacy stale")
+    w2.commit()
+    w2.maxBufferedDocs = 2
+    w2.delete(Term("content", "legacy"))
+    w2.add("repo" -> "r", "path" -> "n1", "commit" -> "c", "lang" -> "en",
+      "content" -> "legacy fresh1")
+    w2.add("repo" -> "r", "path" -> "n2", "commit" -> "c", "lang" -> "en",
+      "content" -> "legacy fresh2") // second add trips the spill
+    assert(w2.count(Term("content", "stale")) === 0L) // old doc tombstoned
+    assert(w2.count(Term("content", "legacy")) === 2L) // the new docs survive
+    w2.close()
+
+    // NRT view across a spill: committed spills surface on the overlay's
+    // refresh cadence; the still-buffered tail stays point-in-time invisible
+    val dir3 = Files.createTempDirectory("graft-autoflush3").toString
+    val w3 = new Indexer(spark, dir3, idxSchema, srcSchema, nrt = true)
+    w3.maxBufferedDocs = 3
+    for (i <- 0 until 7)
+      w3.add("repo" -> "r", "path" -> s"q$i", "commit" -> "c", "lang" -> "en",
+        "content" -> s"alpha q$i")
+    assert(w3.count(Term("content", "alpha")) === 6L) // two spills committed
+    w3.refresh()
+    assert(w3.count(Term("content", "alpha")) === 7L) // + the buffered tail
+    w3.close()
+  }
 }

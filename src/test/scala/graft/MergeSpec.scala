@@ -199,6 +199,64 @@ class MergeSpec extends SparkTestBase {
     assert(w.count(Term("content", "alpha")) === 50L + 9L)
     assert(w.count(Term("content", "drop")) === 0L)
     assert(w.count(Term("content", "stable")) === 50L)
+    // DISCOVERY never scanned the corpus: the lineage interval lookup named
+    // exactly the three tail segments as candidates — the untouched big
+    // segment was excluded from even the partition-pruned verify read
+    assert(!w.lastDeleteDiscoveryCandidates.contains(bigId))
+    assert(w.lastDeleteDiscoveryCandidates.length === 3)
+    // and the verify read IS partition-pruned: an isin on the partition
+    // column reaches the scan as a PartitionFilter, not a data filter
+    val verifyPlan = spark.read.parquet(s"$dir/docs")
+      .filter(col("segment").isin(w.lastDeleteDiscoveryCandidates.map(_.toInt): _*))
+      .queryExecution.executedPlan.toString
+    assert(verifyPlan.contains("PartitionFilters") && verifyPlan.contains("segment"),
+      s"expected partition-pruned scan:\n$verifyPlan")
+    // idempotent: the already-purged tombstones are vacuous — a second call
+    // must not re-fold anything (interval candidates verify to empty)
+    val liveAfter = StreamingIndexer.liveSegmentIds(spark, dir).sorted
+    w.forceMergeDeletes()
+    assert(StreamingIndexer.liveSegmentIds(spark, dir).sorted === liveAfter)
+    w.close()
+  }
+
+  test("check(repair=true): quarantines a corrupt segment, remaining index consistent " +
+      "(indexers.py:528-536 CheckIndex/exorcise)") {
+    val dir = Files.createTempDirectory("graft-repair").toString
+    val w = writer(dir)
+    for (i <- 0 until 8) addDoc(w, s"a$i", s"alpha keepme word$i")
+    w.commit() // segment 0
+    for (i <- 0 until 5) addDoc(w, s"b$i", s"alpha other data$i")
+    w.commit() // segment 1
+    assert(w.check().clean) // green pre-corruption; returns, never throws
+    val victims = StreamingIndexer.liveSegmentIds(spark, dir).sorted
+    val victim = victims.head
+    // corrupt one posting part-file of segment 0 wholesale (lost footer)
+    val part = new java.io.File(s"$dir/postings/segment=$victim").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(part.toPath, Array.fill[Byte](128)(0x5a.toByte))
+    // without repair: loud failure naming the segment
+    val ex = intercept[java.io.IOException] { w.check() }
+    assert(ex.getMessage.contains(victim.toString))
+    // with repair: the segment is exorcised, the rest serves consistently
+    val report = w.check(repair = true)
+    assert(report.badSegments === Seq(victim))
+    assert(report.droppedDocs === 8L)
+    assert(report.errors.keySet === Set(victim))
+    assert(StreamingIndexer.liveSegmentIds(spark, dir) === victims.tail)
+    assert(w.count(AllDocs) === 5L)
+    assert(w.count(Term("content", "alpha")) === 5L)
+    assert(w.count(Term("content", "keepme")) === 0L)
+    // quarantined for forensics, not deleted
+    assert(new java.io.File(s"$dir/corrupt/postings/segment=$victim").exists)
+    // post-repair sweeps are green (both the facade's and the block-level one)
+    assert(w.check(repair = true).clean)
+    assert(w.check().clean)
+    w.searcher.index.check()
+    // and the writer keeps working: appends after a repair stay consistent
+    addDoc(w, "c0", "alpha fresh")
+    w.commit()
+    assert(w.count(AllDocs) === 6L)
+    assert(w.count(Term("content", "fresh")) === 1L)
     w.close()
   }
   test("vacuumMerged reclaims superseded dirs but never a declared pin's") {

@@ -297,4 +297,41 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(1)).distinct
     assert(ccChain.toSeq === Seq(0L))
   }
+
+  test("connected components: per-round checkpoints are freed (no executor-storage leak) " +
+      "and rounds stay O(log diameter)") {
+    val s2 = spark
+    import s2.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val cc = graft.ops.Dedup.connectedComponents(chain, "id_a", "id_b")
+    assert(cc.collect().map(_.getLong(1)).distinct.toSeq === Seq(0L))
+    // pointer jumping halves chain depth per round: a 65-vertex path must
+    // settle well inside log-bounded rounds, nowhere near the 50-iter cap
+    assert(graft.ops.Dedup.lastCcRounds <= 10,
+      s"CC took ${graft.ops.Dedup.lastCcRounds} rounds on a 65-vertex path")
+    // storage hygiene: of the ~3 localCheckpoints per round, only the
+    // RETURNED labels frame may remain persisted after the call
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"${leaked.size} checkpointed RDDs left persisted")
+  }
+
+  test("plan guard: banded cosine LSH is equi-join-shaped — no cartesian product") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val planes = (0 until 30).map(_ => Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val pairs = graft.ops.Dedup.cosineNearDup(emb, "vec_id", "embedding", planes, 0.9, tables = 3)
+    pairs.collect()
+    // a geometry regression (e.g. bands too small to discriminate) would
+    // surface as a nested-loop/cartesian candidate join — fail loudly here,
+    // not as a mysteriously slow bench
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
 }

@@ -198,8 +198,79 @@ class WandSpec extends SparkTestBase {
     assert(rx.count === rcount) // int ⇔ exact
     assert(rx.hits.count() === rcount)
 
-    // non-WAND-able query (single term) falls to the exhaustive exact path
-    val one = searcher.searchHits(Term("content", "def"), 5)
-    assert(one.total.exact && one.total.value === searcher.count(Term("content", "def")))
+    // non-WAND-able query (conjunction) falls to the exhaustive exact path
+    val one = searcher.searchHits(Q.all(Term("content", "def"), Term("content", "parse")), 5)
+    assert(one.total.exact &&
+      one.total.value === searcher.count(Q.all(Term("content", "def"), Term("content", "parse"))))
+  }
+
+  test("single-term top-k routes through block-max WAND (Lucene impacts/BMW) and stays exact") {
+    for (t <- Seq("def", "the", "parse"); k <- Seq(1, 10, 100)) {
+      searcher.wandDecoded.reset()
+      val got = searcher.search(Term("content", t), k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(searcher.wandDecoded.value > 0, s"WAND route not taken for term $t")
+      searcher.wandEnabled = false
+      val exh = try searcher.search(Term("content", t), k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      finally searcher.wandEnabled = true
+      assert(got === exh, s"term=$t k=$k")
+    }
+    // hot term, small k: the single-cursor block-max bound actually prunes —
+    // blocks whose (maxTf, minDlq) upper bound can't beat theta skip undecoded
+    val totalBlocks = index.blocks
+      .filter(col("field") === "content" && col("term") === "the").count()
+    searcher.wandDecoded.reset()
+    searcher.search(Term("content", "the"), 1).collect()
+    assert(searcher.wandDecoded.value <= totalBlocks)
+    // all-hits (k <= 0) and sorted searches keep the exhaustive route
+    val all = searcher.search(Term("content", "def"), 0).collect()
+    assert(all.length === searcher.count(Term("content", "def")))
+  }
+
+  test("WAND runs over tombstones (liveDocs filter) and stays exact " +
+      "(indexers.py:98-109 liveDocs semantics)") {
+    import spark.implicits._
+    val q = Q.any(Term("content", "def"), Term("content", "parse"))
+    // tombstone the undeleted top-5 so the filter provably reshapes the result
+    val deadIds = searcher.search(q, 5).collect().map(_.getLong(0)).toSeq
+    val sDel = new Searcher(index.withDeletes(deadIds.toDF("docId")))
+    def exhaust(terms: Seq[String], k: Int): Seq[(Long, Long)] = {
+      sDel.wandEnabled = false
+      try sDel.search(Q.any(terms.map(Term("content", _)): _*), k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      finally sDel.wandEnabled = true
+    }
+    // the WAND route is actually taken (decoded-blocks accumulator moves)
+    sDel.wandDecoded.reset()
+    val viaWand = sDel.search(q, 10).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(sDel.wandDecoded.value > 0, "WAND route not taken despite tombstones")
+    assert(viaWand === exhaust(Seq("def", "parse"), 10))
+    assert(viaWand.map(_._1).toSet.intersect(deadIds.toSet).isEmpty,
+      "a tombstoned doc surfaced in the top-k")
+    // every query shape stays exact over the deleted view
+    for (terms <- queries; k <- Seq(1, 10, 100)) {
+      sDel.wandDecoded.reset()
+      val got = sDel.search(Q.any(terms.map(Term("content", _)): _*), k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(got === exhaust(terms, k), s"terms=$terms k=$k")
+    }
+    // searchHits accounting: scored docs exclude tombstones, so the exact /
+    // lower-bound contract holds against the LIVE count
+    val r = sDel.searchHits(q, 10)
+    assert(r.hits.collect().map(_.getLong(0)).toSeq === viaWand.map(_._1))
+    val liveCount = sDel.count(q)
+    if (r.total.exact) assert(r.total.value === liveCount)
+    else assert(r.total.value <= liveCount && r.total.value >= 10L)
+  }
+
+  test("Hits.maxscore: max of present hits, NaN when empty (documents.py:382-385)") {
+    val q = Q.any(Term("content", "def"), Term("content", "parse"))
+    val r = searcher.searchHits(q, 10)
+    val expected = searcher.search(q, 10).collect().map(_.getDouble(1)).max
+    assert(math.abs(r.maxscore - expected) < 1e-12)
+    val empty = searcher.searchHits(Term("content", "zzz_missing"), 10)
+    assert(empty.maxscore.isNaN)
   }
 }
