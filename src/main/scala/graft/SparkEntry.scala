@@ -242,6 +242,14 @@ object SparkEntry {
       graft.ops.Dedup.connectedComponents(edges, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
     }),
+    // PASSAGE-level dedup (Lee et al., ACL 2022): repeated 8-token windows
+    // across distinct docs — boilerplate shared between otherwise-unique
+    // documents that doc-level minhash/simhash structurally miss
+    "q_passage_dups" -> ((sp, dir) => {
+      graft.ops.Dedup.passageDups(
+          sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", window = 8)
+        .select(col("h"), col("ndocs"), col("occurrences"))
+    }),
     "q_token_stats" -> ((sp, dir) => {
       searcher(sp, dir).index.docs
         .select(col("docId").as("docid"),
@@ -537,6 +545,18 @@ object SparkEntry {
         |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
         |)
         |SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1""".stripMargin,
+    "q_passage_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) _l
+        |  WHERE len(ts) >= 8
+        |)
+        |SELECT h, count(DISTINCT doc_id) AS ndocs, count(*) AS occurrences
+        |FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "q_token_stats" -> // over ALL docs (zero-token docs included), unlike the
       // index-side dl CTE whose docs define the field's docCount
       s"""$prelude SELECT c.docid, count(t.term) AS n_tokens

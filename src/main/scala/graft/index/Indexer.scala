@@ -382,6 +382,13 @@ final class Indexer(
       throw new java.io.IOException(
         s"$dir has an unfinished compact() (.compact-inflight marker present) — " +
           "recover from archive/ + .compact-tmp before opening")
+    // Likewise a vacuumDeletes() that crashed mid-swap: serving the view
+    // without its tombstone table would RESURRECT deleted docs — fail loudly
+    // (the old table is intact at .deletes-old, the rewrite at .deletes-tmp).
+    if (fs.exists(new Path(s"$dir/.deletes-vacuum-inflight")))
+      throw new java.io.IOException(
+        s"$dir has an unfinished vacuumDeletes() (.deletes-vacuum-inflight marker " +
+          "present) — restore deletes/ from .deletes-old before opening")
     if (!fs.exists(new Path(s"$dir/segments")))
       return new Searcher(IndexBuilder.build(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sourceSchema), schema))
@@ -616,6 +623,74 @@ final class Indexer(
         .map(sub => fs.delete(new Path(s"$dir/$sub/segment=$id"), true))
         .exists(identity)
     }
+  }
+
+  /** Reclaim VACUOUS tombstones — the other half of the deletes story at
+    * scale. The tombstone table is append-only (pins name its part-files),
+    * so after [[forceMergeDeletes]]/merges purge the underlying docs, the
+    * entries remain as no-ops yet every open still anti-joins them and WAND
+    * still broadcasts them: a long-lived 100 TB index accumulates an
+    * unbounded dead-tombstone working set. Lucene drops whole .liv files at
+    * merge; here reclaim is an explicit vacuum with the SAME declared-pin
+    * contract as [[vacuumMerged]] — if any outstanding pin names a current
+    * delete part-file, the vacuum refuses (returns -1) rather than break a
+    * pinned commit's copy().
+    *
+    * A tombstone is LIVE iff its docId still matches a live doc; candidates
+    * come from the lineage interval lookup (no corpus scan — the same
+    * discovery as forceMergeDeletes), and the membership probe is
+    * partition-pruned to candidate segment dirs. Crash-safe swap: the old
+    * table moves to `.deletes-old` behind an inflight marker (open fails
+    * LOUDLY mid-swap instead of resurrecting deleted docs), then the
+    * rewritten table renames in and both artifacts drop.
+    *
+    * @return tombstone rows dropped (0 = nothing vacuous), or -1 when
+    *         skipped because a declared pin names the current files
+    */
+  def vacuumDeletes(outstandingPins: Seq[IndexPin] = Seq.empty): Long = {
+    ensureWritable()
+    val delDir = new Path(s"$dir/deletes")
+    if (!fs.exists(delDir)) return 0L
+    val current = fs.listStatus(delDir).map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+    val pinnedFiles = outstandingPins.flatMap(_.deleteFiles).toSet
+    if (current.exists(pinnedFiles.contains)) return -1L
+    import spark.implicits._
+    val del = spark.read.parquet(s"$dir/deletes").select("docId").distinct()
+    val total = del.count()
+    if (total == 0L) return 0L
+    val live = liveSegmentMeta
+    val candidates =
+      if (live.isEmpty) Seq.empty[Long]
+      else {
+        val intervals = live.map(m => (m._1, m._2, m._5)).toDF("segment", "__lo", "__hi")
+        del.join(broadcast(intervals), col("docId").between(col("__lo"), col("__hi")))
+          .select("segment").distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+      }
+    val keep =
+      if (candidates.isEmpty) del.limit(0)
+      else del.join(
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/docs")
+          .filter(col("segment").isin(candidates: _*)).select("docId"), // partition-pruned
+        Seq("docId"), "left_semi")
+    val tmp = new Path(s"$dir/.deletes-tmp")
+    fs.delete(tmp, true)
+    // materialize the rewrite BEFORE touching the source table
+    keep.write.mode("overwrite").parquet(tmp.toString)
+    val kept = spark.read.parquet(tmp.toString).count()
+    if (kept == total) { fs.delete(tmp, true); return 0L }
+    val old = new Path(s"$dir/.deletes-old")
+    val inflight = new Path(s"$dir/.deletes-vacuum-inflight")
+    fs.delete(old, true)
+    fs.create(inflight, true).close()
+    require(fs.rename(delDir, old), s"vacuumDeletes: archive rename failed for $delDir")
+    if (kept > 0L)
+      require(fs.rename(tmp, delDir), s"vacuumDeletes: swap-in failed — old table at $old")
+    else fs.delete(tmp, true) // nothing live: an absent deletes/ IS the empty table
+    fs.delete(inflight, false)
+    fs.delete(old, true)
+    refresh()
+    total - kept
   }
 
   /** Per-segment integrity check with an optional repair path (reference

@@ -271,6 +271,38 @@ object Dedup {
     f(toks)
   }
 
+  /** Sliding token-window hashes for PASSAGE-level dedup (the repeated
+    * n-gram window detector of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): doc-level minhash misses
+    * boilerplate passages embedded in otherwise-distinct documents; this
+    * surfaces them exactly. Tokens are lowercased maximal [a-z0-9] runs;
+    * one hash per 1-based window start (stride 1 — exact coverage; rows ∝
+    * corpus tokens, the honest cost of exact passage detection). md5 of the
+    * space-joined window keeps every stage oracle-checkable in DuckDB —
+    * swap a 64-bit hash in for production, the structure is hash-agnostic.
+    */
+  def passageHashes(text: Column, window: Int): Column = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    val starts = size(toks) - lit(window - 1) // number of 1-based start positions
+    when(starts >= 1,
+      transform(sequence(lit(1), starts),
+        i => md5(concat_ws(" ", slice(toks, i, lit(window))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Token windows appearing in ≥ 2 distinct docs: (h, ndocs, occurrences).
+    * One groupBy on the window hash — an equi-shuffle with map-side partial
+    * aggregation absorbing within-doc repeats before the exchange; never an
+    * all-pairs product. Downstream, a pipeline joins `h` back to the
+    * exploded windows to locate/excise the passages per doc.
+    */
+  def passageDups(df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(passageHashes(col(textCol), window)).as("h"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("occurrences"))
+      .filter(col("ndocs") >= 2)
+
   /** Connected components over a near-dup pair list — the clustering step a
     * training-data dedup pipeline runs AFTER candidate verification (group
     * the verified pairs, keep one representative per group). Returns one row

@@ -219,6 +219,36 @@ class MergeSpec extends SparkTestBase {
     w.close()
   }
 
+  test("vacuumDeletes: drops vacuous tombstones after a purge, keeps live ones, honors pins") {
+    val dir = Files.createTempDirectory("graft-vacdel").toString
+    val w = writer(dir)
+    for (i <- 0 until 6) addDoc(w, s"p$i", s"alpha ${if (i < 2) "drop" else "keep"} w$i")
+    w.commit()
+    w.delete(Term("content", "drop")); w.commit()
+    w.forceMergeDeletes() // purges the 2 dropped docs — their tombstones go vacuous
+    w.delete(Term("content", "w5")); w.commit() // a LIVE tombstone (not purged)
+    assert(w.count(AllDocs) === 3L)
+    assert(spark.read.parquet(s"$dir/deletes").select("docId").distinct().count() === 3L)
+    // a declared pin names the current delete files: vacuum refuses
+    val pin = w.snapshot()
+    assert(w.vacuumDeletes(Seq(pin)) === -1L)
+    // unpinned: the 2 vacuous rows drop, the live one stays, the view is identical
+    assert(w.vacuumDeletes() === 2L)
+    assert(spark.read.parquet(s"$dir/deletes").select("docId").distinct().count() === 1L)
+    assert(w.count(AllDocs) === 3L)
+    assert(w.count(Term("content", "w5")) === 0L) // live tombstone still applies
+    assert(w.vacuumDeletes() === 0L) // idempotent: nothing vacuous left
+    // purge the last tombstone too: the table empties and the dir drops
+    w.forceMergeDeletes()
+    assert(w.vacuumDeletes() === 1L)
+    assert(!new java.io.File(s"$dir/deletes").exists)
+    assert(w.count(AllDocs) === 3L)
+    // writer keeps working afterwards
+    addDoc(w, "pZ", "alpha fresh"); w.commit()
+    assert(w.count(AllDocs) === 4L)
+    w.close()
+  }
+
   test("check(repair=true): quarantines a corrupt segment, remaining index consistent " +
       "(indexers.py:528-536 CheckIndex/exorcise)") {
     val dir = Files.createTempDirectory("graft-repair").toString

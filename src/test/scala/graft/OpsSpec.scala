@@ -316,6 +316,33 @@ class OpsSpec extends SparkTestBase {
     assert(leaked.size <= 1, s"${leaked.size} checkpointed RDDs left persisted")
   }
 
+  test("dedup: passage-level repeated token windows (Lee et al. ACL 2022) — exact cross-doc detection") {
+    val s2 = spark
+    import s2.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"unrelated words here $shared and more tail content okay"),
+      (3L, "totally different text with no overlap at all whatsoever friend")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the 10-token shared passage yields exactly its 3 fully-contained
+    // 8-token windows, each present in the 2 docs that embed it
+    assert(got.length === 3)
+    assert(got.forall { case (_, nd, occ) => nd == 2L && occ == 2L })
+    // hash parity with an independent driver-side recomputation
+    val toks = shared.split(" ")
+    val expected = (0 to 2).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.slice(i, i + 8).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toSet
+    assert(got.map(_._1).toSet === expected)
+    // window longer than every doc ⇒ empty result, not an error
+    assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
+  }
+
   test("plan guard: banded cosine LSH is equi-join-shaped — no cartesian product") {
     val s = spark
     import s.implicits._
