@@ -334,7 +334,7 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val scalePairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_ATTEMPTS",
-      (scalePairs * 3).toString).toInt
+      (scalePairs * 4).toString).toInt
     // Mid-pair contention screen: a leg whose CPU purity (our process CPU /
     // wall / task threads) falls below this bound was starved by OUTSIDE
     // load that arrived after the pre-pair check — its pair is emitted (with

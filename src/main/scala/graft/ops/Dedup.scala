@@ -209,14 +209,24 @@ object Dedup {
     val bucketCols = bands.zipWithIndex.map { case (hs, t) =>
       struct(lit(t).as("t"), Ann.signBucket(col(vecCol), hs).as("b"))
     }
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // Candidate generation stays NARROW — (id, bucket) rows only — so the
+    // bucket self-join and the multi-band dedup shuffle move ids, not
+    // vectors. The vectors attach AFTER dedup via two equi-joins on id
+    // (broadcast when the vector table is small; a plain hash join at
+    // scale) — shuffling dim-sized payloads through the candidate join was
+    // ~2x the bytes for zero information.
+    val bucketed = df.select(col(idCol).as("id"),
       explode(array(bucketCols: _*)).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.v").as("va"), col("b.v").as("vb"))
+    val cand = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       // a pair agreeing in several bands would verify (and emit) repeatedly
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    cand
+      .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "va"), "id_a")
+      .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vb"), "id_b")
       .select(col("id_a"), col("id_b"), Ann.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
