@@ -361,4 +361,25 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
+
+  test("plan guard: passage dedup is join-free — one equi-shuffle aggregation") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"token$i shared common words appear here $i tail"))
+      .toDF("doc_id", "text")
+    val dups = graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 3)
+    dups.collect()
+    // the operator is explode → groupBy(hash): any join (let alone a
+    // nested-loop product) or a second data-shaped exchange appearing here
+    // means the aggregation shape regressed — fail loudly, not slowly
+    val plan = dups.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // AQE's toString repeats the tree under "== Initial Plan =="; count the
+    // final plan only. Two exchanges = the distinct-count two-phase shape
+    // (hash(h, doc_id) then hash(h)) — both narrow, both equi.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(finalPlan).length
+    assert(exchanges <= 2, s"$exchanges exchanges in:\n${finalPlan.take(1500)}")
+  }
 }
