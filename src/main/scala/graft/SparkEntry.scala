@@ -334,6 +334,23 @@ object SparkEntry {
       graft.ops.Dedup.cosineNearDup(planted, "vec_id", "embedding", hp.toSeq, 0.999, tables = 3)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
     }),
+    // SemDeDup-style semantic dedup: candidates only within a nearest-
+    // centroid cell (8 fixed centroid rows 31..38 play the k-means output;
+    // argmax is FIRST max, 1-based, in both engines). A ×2-scaled planted
+    // duplicate keeps every dot-product sign AND ratio, so it lands in its
+    // original's cell under any centroid set — the 25 planted pairs are
+    // invariant to the partition, like the hyperplane queries above.
+    "q_dedup_semantic" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val cents = emb.filter(col("vec_id").between(31, 38)).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0))
+      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", cents.toSeq, 0.999)
+        .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
+    }),
     "q_ann_topk" -> ((sp, dir) => {
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
@@ -646,6 +663,35 @@ object SparkEntry {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${dot("a.embedding", "b.embedding")} / (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cos
          |  FROM bux a JOIN bux b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
+         |FROM pairs WHERE cos >= 0.999""".stripMargin
+    },
+    "q_dedup_semantic" -> {
+      val dot = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val nrm = (a: String) =>
+        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      val ctDefs = (0 until 8)
+        .map(i => s"(SELECT embedding FROM embeddings WHERE vec_id = ${i + 31}) AS c$i")
+        .mkString(",\n         ")
+      val dlist = (0 until 8).map(i => dot("p.embedding", s"ct.c$i")).mkString("[", ", ", "]")
+      s"""WITH planted AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+         |  FROM embeddings WHERE vec_id < 25
+         |), ct AS (
+         |  SELECT $ctDefs
+         |), cells AS (
+         |  SELECT p.vec_id, p.embedding,
+         |    list_position(dlist, list_aggregate(dlist, 'max')) AS cell
+         |  FROM (SELECT p.vec_id, p.embedding, $dlist AS dlist
+         |        FROM planted p CROSS JOIN ct) p
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dot("a.embedding", "b.embedding")} / (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cos
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |)
          |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
          |FROM pairs WHERE cos >= 0.999""".stripMargin

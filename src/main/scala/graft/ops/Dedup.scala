@@ -231,6 +231,43 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv
+    * 2303.09540): partition vectors into cells by nearest centroid (argmax
+    * of the centroid dot products — the IVF/k-means cell), generate
+    * candidate pairs ONLY within a cell via an equi-join on the cell id,
+    * then verify with exact cosine. Candidate volume is Σ_c N_c²/2 instead
+    * of N²/2 — with k balanced cells, a k-fold reduction, and the join is
+    * equi-shaped (shuffle on cell id), never all-pairs. Centroids are
+    * passed in (production: `Ann.kmeansCentroids` from a sample pass); the
+    * candidate shuffle moves (id, cell) rows only and vectors attach after
+    * candidate generation, exactly like [[cosineNearDup]].
+    *
+    * The method's documented recall trade: a near-dup pair straddling a
+    * cell boundary is missed (SemDeDup §2 accepts this for k ≪ N; raise
+    * recall by probing adjacent cells — see `Ann.topkIvf`'s nprobe — or by
+    * union with a [[cosineNearDup]] pass).
+    *
+    * Cell id is the FIRST index attaining the max dot (1-based), making
+    * assignment deterministic under ties.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], minCos: Double): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dots = array(centroids.map(c => Ann.dot(col("v"), array(c.map(lit(_)): _*))): _*)
+    val cells = vecs.select(col("id"), array_position(dots, array_max(dots)).as("cell"))
+    val a = cells.as("a")
+    val b = cells.as("b")
+    val cand = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), Ann.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: join shingle sets back and
     * compute |∩|/|∪| over distinct shingles.
     */

@@ -362,6 +362,29 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("dedup: SemDeDup semantic cells — within-cell pairs found, boundary straddle documented-missed") {
+    val s2 = spark
+    import s2.implicits._
+    val cents = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val rows = Seq(
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),   // cell 1
+      (2L, Seq(1.8f, 0.2f, 0f, 0f)),   // ×2 duplicate of 1 — same cell, cos = 1
+      (3L, Seq(0.51f, 0.49f, 0f, 0f)), // cell 1, cos(3,4) ≈ 0.9992 ≥ 0.999...
+      (4L, Seq(0.49f, 0.51f, 0f, 0f)), // ...but cell 2: the straddle SemDeDup misses
+      (5L, Seq(0.1f, 0.9f, 0f, 0f))    // cell 2, no near-dup partner in-cell
+    ).toDF("id", "vec")
+    val got = graft.ops.Dedup.semanticDedup(rows, "id", "vec", cents, 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the planted duplicate survives; the cross-cell near-dup (3,4) is the
+    // method's documented recall trade (Abbas et al. §2) — absent by design
+    assert(got === Set((1L, 2L)))
+    // candidate generation is an equi-join on the cell id — never all-pairs
+    val plan = graft.ops.Dedup.semanticDedup(rows, "id", "vec", cents, 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("plan guard: passage dedup is join-free — one equi-shuffle aggregation") {
     val s2 = spark
     import s2.implicits._
