@@ -714,30 +714,49 @@ class Searcher(val index: Index) extends Serializable {
   /** Largest tombstone set WAND will broadcast as a liveDocs filter — the
     * in-memory analogue of Lucene's per-segment liveDocs bitsets (8 bytes ×
     * 4M ≈ 32 MB, comfortably under executor broadcast budgets). Beyond it
-    * the top-k disjunction falls back to exhaustive scoring; the operational
-    * answer at that many tombstones is forceMergeDeletes(), which purges
-    * them and restores the broadcast-free WAND path.
+    * WAND still runs: the delete table CO-SHUFFLES with the posting blocks
+    * on the same docId salt bucket (one narrow docId-only exchange per
+    * query) and each partition assembles its own sorted liveDocs — no
+    * driver collect, no ceiling. The broadcast path stays preferred under
+    * the cap because its one-time collect amortizes across every query on
+    * this searcher; `forceMergeDeletes()`+`vacuumDeletes()` remain the
+    * operational pressure valve that restores it.
+    *
+    * LATCHES on the first search (the liveDocs set is computed once per
+    * searcher, like a Lucene reader pinning its .liv bits): assigning it
+    * after any query is an error, not a silent no-op (advisor r5).
     */
-  var wandMaxTombstones: Int = 4 << 20
+  def wandMaxTombstones: Int = wandMaxTombstones0
+  def wandMaxTombstones_=(v: Int): Unit = {
+    require(!wandTombstonesLatched,
+      "wandMaxTombstones latches on the first search — set it before querying " +
+        "(or open a fresh Searcher on the index)")
+    wandMaxTombstones0 = v
+  }
+  private var wandMaxTombstones0: Int = 4 << 20
+  @volatile private var wandTombstonesLatched = false
 
-  /** Sorted tombstoned docIds for the WAND cursors (None = no deletes), and
-    * whether the set overflowed [[wandMaxTombstones]]. Deletes are immutable
-    * per Index instance, so one collect+sort+broadcast serves every query on
+  /** Sorted tombstoned docIds for the WAND cursors (None = no deletes OR the
+    * set overflowed the broadcast cap — [[wandPartitions]] then ships the
+    * deletes through the block shuffle instead). Deletes are immutable per
+    * Index instance, so one collect+sort+broadcast serves every query on
     * this searcher (Lucene NRT readers likewise pin liveDocs per reader).
     */
   private lazy val (wandTombstones, wandTombstonesOverflow):
-      (Option[org.apache.spark.broadcast.Broadcast[Array[Long]]], Boolean) =
+      (Option[org.apache.spark.broadcast.Broadcast[Array[Long]]], Boolean) = {
+    wandTombstonesLatched = true
     index.deletes match {
       case None => (None, false)
       case Some(d) =>
         val ids = d.select(col("docId").cast("long")).distinct()
-          .limit(wandMaxTombstones + 1).as[Long].collect()
-        if (ids.length > wandMaxTombstones) (None, true)
+          .limit(wandMaxTombstones0 + 1).as[Long].collect()
+        if (ids.length > wandMaxTombstones0) (None, true)
         else {
           java.util.Arrays.sort(ids)
           (Some(spark.sparkContext.broadcast(ids)), false)
         }
     }
+  }
 
   /** Match a query shape WAND can serve: SHOULD-only boolean over Terms of
     * one field (with optional boosts), a bare (possibly boosted) Term — the
@@ -772,11 +791,6 @@ class Searcher(val index: Index) extends Serializable {
     * groupBy, non-competitive blocks never decoded.
     */
   def searchWand(field: String, weightedTerms: Seq[(String, Double)], k: Int): DataFrame = {
-    // search() gates this route on the same flag; a direct caller must not
-    // silently surface tombstoned docs when the liveDocs filter can't ship
-    require(!wandTombstonesOverflow,
-      s"tombstone set exceeds wandMaxTombstones ($wandMaxTombstones) — " +
-        "use search() (exhaustive fallback) or forceMergeDeletes() first")
     bm25Weights(field, weightedTerms) match {
       case None => emptyMatches
       case Some((weights, avgdl)) =>
@@ -812,24 +826,46 @@ class Searcher(val index: Index) extends Serializable {
     val acc = wandDecoded // local val: the closure must not capture `this`
     val tomb = wandTombstones.orNull // Broadcast is serializable; `this` is not shipped
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    index.blocks
+    val blockRows = index.blocks
       .filter(col("field") === field && col("term").isin(weights.map(_._1).distinct: _*))
       // scoring never needs positions: drop the widest blob before the shuffle
       .select(col("term"), col("firstDocId"), col("lastDocId"), col("numDocs"),
         col("maxTf"), col("sumTf"), col("minDlq"),
         col("docsBlob"), col("freqsBlob"), col("normsBlob"))
+    // Broadcast-cap overflow: the deletes CO-SHUFFLE with the blocks on the
+    // same salt bucket (blocks never span one), tagged numDocs = -1 — a real
+    // block always has numDocs >= 1. One narrow (docId-only) exchange per
+    // query instead of a driver collect; each partition then sees exactly
+    // the tombstones its docId range can contain.
+    val input =
+      if (!wandTombstonesOverflow) blockRows
+      else blockRows.unionAll(index.deletes.get.select(
+        lit("").as("term"), col("docId").cast("long").as("firstDocId"),
+        col("docId").cast("long").as("lastDocId"), lit(-1).as("numDocs"),
+        lit(0).as("maxTf"), lit(0L).as("sumTf"), lit(0).as("minDlq"),
+        lit(null).cast("binary").as("docsBlob"), lit(null).cast("binary").as("freqsBlob"),
+        lit(null).cast("binary").as("normsBlob")))
+    input
       .repartition(parts, shiftrightunsigned(col("firstDocId"), graft.index.IndexBuilder.SaltShift))
       .as[(String, Long, Long, Int, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
       .map(t => graft.index.PostingBlock("", t._1, t._2, t._3, t._4, t._5, t._6, t._7,
         t._8, t._9, t._10, Array.empty[Byte]))
       .mapPartitions { it =>
+        val all = it.toArray
+        val (tombRows, blocks) = all.partition(_.numDocs < 0)
         val deleted: Long => Boolean =
-          if (tomb == null) _ => false
-          else {
+          if (tomb != null) {
             val sorted = tomb.value
             d => java.util.Arrays.binarySearch(sorted, d) >= 0
+          } else if (tombRows.isEmpty) _ => false
+          else {
+            // per-bucket liveDocs: sorted with possible duplicates (the
+            // delete table is append-only) — binarySearch still decides
+            val sorted = tombRows.map(_.firstDocId)
+            java.util.Arrays.sort(sorted)
+            d => java.util.Arrays.binarySearch(sorted, d) >= 0
           }
-        val byTerm = it.toArray.groupBy(_.term)
+        val byTerm = blocks.groupBy(_.term)
         val termBlocks = wts.map { case (t, w) => (w, byTerm.getOrElse(t, Array.empty)) }
         val r = Wand.topkPartitionFull(termBlocks, avgdl, kk, deleted)
         acc.add(r.decodedBlocks)
@@ -846,7 +882,7 @@ class Searcher(val index: Index) extends Serializable {
     * tops are merged on the driver (≤ partitions × k rows — metadata-scale).
     */
   def searchHits(q: Query, k: Int = 10): SearchHits = {
-    if (wandEnabled && k > 0 && !wandTombstonesOverflow) {
+    if (wandEnabled && k > 0) {
       wandable(q).foreach { case (f, wts0) =>
         if (wts0.nonEmpty) {
           val (weights, avgdl) = bm25Weights(f, wts0)
@@ -876,7 +912,7 @@ class Searcher(val index: Index) extends Serializable {
     */
   def search(q: Query, k: Int = 10, sorts: Seq[SortSpec] = Nil,
       select: Seq[String] = Nil): DataFrame = {
-    if (wandEnabled && k > 0 && sorts.isEmpty && select.isEmpty && !wandTombstonesOverflow) {
+    if (wandEnabled && k > 0 && sorts.isEmpty && select.isEmpty) {
       wandable(q).foreach { case (f, wts) =>
         if (wts.nonEmpty) return searchWand(f, wts, k)
       }
@@ -1135,22 +1171,15 @@ class Searcher(val index: Index) extends Serializable {
   }
 
   /** Span matches per doc for a near query: (docId, [(start, end)...])
-    * (IndexSearcher.spans, indexers.py:354-376).
+    * (IndexSearcher.spans, indexers.py:354-376). Routed through the generic
+    * span evaluator — Near IS SpanNear over width-1 term spans, on which
+    * SpanEval.nearOrdered and the gold-pinned PhraseMatcher walk are
+    * identical (and the generic route additionally honors
+    * `inOrder = false`, which the old Near-only walk silently ignored).
     */
-  def spans(q: Near): DataFrame = {
-    val field = q.field
-    val (dfOrder, _) = positionalPlan(field, q.terms)
-      .getOrElse(return spark.emptyDataset[(Long, Array[(Int, Int)])].toDF("docId", "spans"))
-    val slot = dfOrder.zipWithIndex.toMap
-    val slots: Array[Int] = q.terms.map(slot(_)).toArray
-    val so = q.slop
-    positionalMatches(field, dfOrder)
-      .map { case (docId, _, lists) =>
-        (docId, PhraseMatcher.orderedNearSpans(slots.map(lists(_)), so))
-      }
-      .filter(_._2.nonEmpty)
-      .toDF("docId", "spans")
-  }
+  def spans(q: Near): DataFrame =
+    spans(SpanQ.near(q.terms.map(t => graft.query.Query.span(q.field, t)),
+      q.slop, q.inOrder))
 
   /** Nested-field prefix query: routes to the narrowest component field
     * (NestedField.prefix, documents.py:156-159).
@@ -1890,30 +1919,6 @@ object PhraseMatcher {
       s += 1
     }
     freq
-  }
-
-  /** Ordered-near span matches as (startPos, endPos-exclusive) pairs. */
-  def orderedNearSpans(lists: Array[Array[Int]], slop: Int): Array[(Int, Int)] = {
-    val n = lists.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    val first = lists(0)
-    var s = 0
-    while (s < first.length) {
-      val p0 = first(s)
-      var prev = p0
-      var ok = true
-      var i = 1
-      while (i < n && ok) {
-        val l = lists(i)
-        var j = 0
-        while (j < l.length && l(j) <= prev) j += 1
-        if (j >= l.length) ok = false else prev = l(j)
-        i += 1
-      }
-      if (ok && (prev - p0 + 1) - n <= slop) out += ((p0, prev + 1))
-      s += 1
-    }
-    out.toArray
   }
 
 }

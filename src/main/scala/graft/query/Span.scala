@@ -144,9 +144,9 @@ object SpanEval {
     * match slack = Σ gaps BETWEEN consecutive sub-spans ≤ slop — i.e.
     * (end − start) − Σ ACTUAL sub-span widths, Lucene NearSpansOrdered's
     * matchWidth. A sub-span's internal slack counts only inside that
-    * sub-query's own slop, never again here. Generalizes the gold-pinned
-    * PhraseMatcher.orderedNearSpans from positions to spans (identical on
-    * width-1 term spans).
+    * sub-query's own slop, never again here. The ONE ordered-near walk in
+    * the engine: `Searcher.spans(Near)` routes here over width-1 term spans
+    * (on which this reduces to the Near scorer's greedy position chain).
     */
   private def nearOrdered(subs: Array[Array[Span]], slop: Int): Array[Span] = {
     val out = Array.newBuilder[Span]
