@@ -155,6 +155,41 @@ object Ann {
       dir: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val centroids = kmeansArrays(df, idCol, vecCol, k, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Float]) => if (v == null) -1 else nearestCentroid(v, bc.value))
+    df.withColumn("centroid", assign(col(vecCol)))
+      .repartitionByRange(col("centroid"))
+      .sortWithinPartitions("centroid")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Spherical k-means centroids as a (cell, centroid) TABLE — the coarse
+    * quantizer shared by [[buildIvf]] and [[Dedup.semanticDedup]]'s
+    * table overload (SemDeDup's clustering pass). Cell ids are 1-based in
+    * centroid order, matching the Seq overload's `array_position` cells.
+    * Same determinism contract as [[buildIvf]]: seeded from the k smallest
+    * ids, exact distributed Lloyd aggregations, no RNG.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    kmeansArrays(df, idCol, vecCol, k, iters).zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** The Lloyd loop behind [[buildIvf]]/[[kmeansCentroids]]: k unit-norm
+    * centroids after `iters` exact distributed iterations.
+    */
+  private def kmeansArrays(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // null vectors would NPE the Lloyd pass (only the final assign UDF
     // guards null); an all-null/empty input has no seedable centroid at all
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -163,7 +198,7 @@ object Ann {
       .select("v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map(normalized)
     require(centroids.nonEmpty,
-      s"buildIvf needs at least one non-null $vecCol vector to seed centroids")
+      s"k-means needs at least one non-null $vecCol vector to seed centroids")
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
@@ -192,15 +227,7 @@ object Ann {
         else normalized(sums(c).map(_ / counts(c)))
       }.toArray
     }
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assign = udf((v: Seq[Float]) => if (v == null) -1 else nearestCentroid(v, bc.value))
-    df.withColumn("centroid", assign(col(vecCol)))
-      .repartitionByRange(col("centroid"))
-      .sortWithinPartitions("centroid")
-      .write.mode("overwrite").parquet(s"$dir/vectors")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("centroid", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    centroids
   }
 
   /** Top-k against a [[buildIvf]] layout: rank centroids by cosine to the

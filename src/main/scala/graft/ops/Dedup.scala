@@ -250,13 +250,97 @@ object Dedup {
     *
     * Cell id is the FIRST index attaining the max dot (1-based), making
     * assignment deterministic under ties.
+    *
+    * Hot-cell guard (`maxCellSize` > 0): a degenerate centroid set or a
+    * natural mega-cluster makes one cell's within-cell join QUADRATIC —
+    * the same failure [[lshCandidates]]' `maxBucketSize` guards against.
+    * Over-cap cells are dropped from candidate generation with a LOUD
+    * distributed count (never silent). Recall note: unlike the banded LSH
+    * paths, a vector lives in exactly ONE cell, so a dropped cell loses ALL
+    * its pairs — SemDeDup's own answer to mega-cells is raising k until
+    * cells are balanced (Abbas et al. §2 run k = 11k on 230M embeddings);
+    * the cap is the backstop that keeps a mis-sized k from killing the job
+    * rather than a recall knob. 0 = uncapped.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Float]], minCos: Double): DataFrame = {
+      centroids: Seq[Seq[Float]], minCos: Double, maxCellSize: Int = 0): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val dots = array(centroids.map(c => Ann.dot(col("v"), array(c.map(lit(_)): _*))): _*)
     val cells = vecs.select(col("id"), array_position(dots, array_max(dots)).as("cell"))
+    semanticPairs(vecs, cells, minCos, maxCellSize)
+  }
+
+  /** [[semanticDedup]] with the centroids as a TABLE of (cell, centroid) —
+    * the production form. The `Seq` overload builds one literal column per
+    * centroid, which is exact and oracle-checkable but explodes the plan at
+    * SemDeDup-realistic k (10⁴–10⁵ cells); here the centroid table (k rows —
+    * the k-means OUTPUT, metadata-scale next to the corpus) is collected
+    * once and broadcast, and assignment is ONE compiled argmax pass per
+    * vector — plan size is O(1) in k. Centroids come from
+    * [[Ann.kmeansCentroids]] (or any (cell, numeric-array) table).
+    *
+    * Assignment is deterministic: cells sort by id and strict `>` keeps the
+    * FIRST max — identical tie behavior to the Seq overload when cell ids
+    * are 1..k in centroid order.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, minCos: Double, maxCellSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col("cell").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map { case n: java.lang.Number => n.doubleValue }.toArray)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroids table must be non-empty")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = udf((v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val cs = bc.value
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val cent = cs(c)._2
+          var d = 0.0
+          var i = 0
+          val n = math.min(cent.length, v.length)
+          while (i < n) { d += cent(i) * v(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c } // strict > = first max
+          c += 1
+        }
+        java.lang.Long.valueOf(cs(best)._1)
+      }: java.lang.Long)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cells = vecs.select(col("id"), assign(col("v")).as("cell"))
+      .filter(col("cell").isNotNull)
+    semanticPairs(vecs, cells, minCos, maxCellSize)
+  }
+
+  /** Shared SemDeDup pairing tail: optional hot-cell cap, within-cell
+    * candidate equi-join on ids only, vectors attach post-dedup, exact
+    * cosine verify.
+    */
+  private def semanticPairs(vecs: DataFrame, cellsIn: DataFrame, minCos: Double,
+      maxCellSize: Int): DataFrame = {
+    val cells =
+      if (maxCellSize <= 0) cellsIn
+      else {
+        // distributed, like lshCandidates' guard: hot-cell discovery is an
+        // aggregate + anti-join, never a driver collect of cell ids
+        val hot = cellsIn.groupBy("cell")
+          .agg(count(lit(1)).as("__csz")).filter(col("__csz") > maxCellSize)
+        val d = hot.agg(count(lit(1)), coalesce(sum("__csz"), lit(0L))).collect()(0)
+        if (d.getLong(0) > 0)
+          System.err.println(s"[graft.Dedup] semantic hot-cell cap $maxCellSize dropped " +
+            s"${d.getLong(0)} cells holding ${d.getLong(1)} vectors from candidate " +
+            "generation — their pairs are LOST (one cell per vector); re-run with " +
+            "more centroids (SemDeDup's k↑ answer) to rebalance")
+        if (d.getLong(0) == 0) cellsIn
+        else cellsIn.join(hot.select("cell"), Seq("cell"), "left_anti")
+      }
     val a = cells.as("a")
     val b = cells.as("b")
     val cand = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -341,23 +425,16 @@ object Dedup {
     val f = udf((t: String) => {
       if (t == null) Seq.empty[String]
       else {
-        val toks = t.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
-        if (toks.length < w) Seq.empty[String]
+        val (bytes, starts, ntoks) = windowBuffer(t)
+        if (ntoks < w) Seq.empty[String]
         else {
-          val joined = toks.mkString(" ")
-          val bytes = joined.getBytes("UTF-8")
-          val starts = new Array[Int](toks.length) // byte offset of token i
-          var off = 0
-          var i = 0
-          while (i < toks.length) { starts(i) = off; off += toks(i).length + 1; i += 1 }
           val digest = java.security.MessageDigest.getInstance("MD5")
           val hexTable = "0123456789abcdef".toCharArray
-          val out = new Array[String](toks.length - w + 1)
-          i = 0
+          val out = new Array[String](ntoks - w + 1)
+          var i = 0
           while (i < out.length) {
             val from = starts(i)
-            val until = if (i + w < toks.length) starts(i + w) - 1 else bytes.length
+            val until = if (i + w < ntoks) starts(i + w) - 1 else bytes.length
             digest.reset()
             digest.update(bytes, from, until - from)
             val dg = digest.digest()
@@ -378,17 +455,102 @@ object Dedup {
     f(text)
   }
 
+  /** Production twin of [[passageHashes]] (the minhash/minhashXx relation):
+    * xxh64 of each window's byte range, fixed-width hex. Same tokenization,
+    * window, and buffer contract — only the digest differs (one xxh64 per
+    * window instead of md5, ~an order of magnitude cheaper and 16-char keys
+    * instead of 32) — so the md5 form remains the oracle gate while
+    * production sweeps run this one. Collision note: 64-bit hashes over
+    * corpus-scale window counts will see rare collisions (birthday bound
+    * ~4B windows for p=0.5 of ONE collision); Lee et al.'s dedup tolerates
+    * them (a false shared window still needs ndocs ≥ 2 to surface and
+    * excision verifies against the actual tokens).
+    */
+  def passageHashesXx(text: Column, window: Int): Column = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    val w = window
+    val f = udf((t: String) => {
+      if (t == null) Seq.empty[String]
+      else {
+        val (bytes, starts, ntoks) = windowBuffer(t)
+        if (ntoks < w) Seq.empty[String]
+        else {
+          val out = new Array[String](ntoks - w + 1)
+          var i = 0
+          while (i < out.length) {
+            val from = starts(i)
+            val until = if (i + w < ntoks) starts(i + w) - 1 else bytes.length
+            out(i) = f"${graft.util.XXH64.hash(bytes, from, until - from, 0L)}%016x"
+            i += 1
+          }
+          out.toSeq
+        }
+      }
+    })
+    f(text)
+  }
+
+  /** Tokenize + join + per-token byte offsets shared by the passage hashers:
+    * (UTF-8 bytes of the space-joined tokens, byte offset of each token,
+    * token count). Tokens are lowercased maximal [a-z0-9] runs — pure ASCII,
+    * so char offsets == byte offsets.
+    */
+  private def windowBuffer(t: String): (Array[Byte], Array[Int], Int) = {
+    val toks = t.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    val joined = toks.mkString(" ")
+    val bytes = joined.getBytes("UTF-8")
+    val starts = new Array[Int](toks.length)
+    var off = 0
+    var i = 0
+    while (i < toks.length) { starts(i) = off; off += toks(i).length + 1; i += 1 }
+    (bytes, starts, toks.length)
+  }
+
   /** Token windows appearing in ≥ 2 distinct docs: (h, ndocs, occurrences).
     * One groupBy on the window hash — an equi-shuffle with map-side partial
     * aggregation absorbing within-doc repeats before the exchange; never an
-    * all-pairs product. Downstream, a pipeline joins `h` back to the
-    * exploded windows to locate/excise the passages per doc.
+    * all-pairs product. `hasher` defaults to the oracle-checkable md5 form;
+    * pass [[passageHashesXx]] for production sweeps. Downstream,
+    * [[passageDupLocations]] joins `h` back to the exploded windows to
+    * locate/excise the passages per doc.
     */
-  def passageDups(df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(passageHashes(col(textCol), window)).as("h"))
+  def passageDups(df: DataFrame, idCol: String, textCol: String, window: Int = 8,
+      hasher: (Column, Int) => Column = passageHashes): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(hasher(col(textCol), window)).as("h"))
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("occurrences"))
       .filter(col("ndocs") >= 2)
+
+  /** Locate duplicated passages per doc — the EXCISION input (Lee et al.
+    * §3's stated point: removing the repeated span needs its position, not
+    * just its count). One row per (doc, window occurrence) whose window hash
+    * appears in ≥ 2 DISTINCT docs: (doc_id, start, h), `start` the 1-based
+    * token index of the window's first token under the same tokenization as
+    * [[passageHashes]] — the caller excises tokens [start, start+window).
+    * Overlapping duplicated windows emit one row each; collapsing them into
+    * maximal ranges is a per-doc sort the caller does at excision time.
+    *
+    * Shape: windows explode once per side of a self-equi-join through the
+    * cross-doc aggregate — the group (map-side partial agg) and the join are
+    * both equi-shuffles on `h`, never all-pairs. The hash pass runs twice
+    * (once per side); at corpus scale, materialize
+    * `df.select(id, posexplode(hasher(text, w)))` to parquet first and feed
+    * both stages from it — the signature-table pattern the minhash pipeline
+    * uses.
+    */
+  def passageDupLocations(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, hasher: (Column, Int) => Column = passageHashes): DataFrame = {
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(hasher(col(textCol), window)).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+    val dups = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("h")
+    wins.join(dups, "h").select("doc_id", "start", "h")
+  }
 
   /** Connected components over a near-dup pair list — the clustering step a
     * training-data dedup pipeline runs AFTER candidate verification (group

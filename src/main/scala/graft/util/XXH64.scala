@@ -15,16 +15,22 @@ object XXH64 {
 
   def hash(s: String, seed: Long): Long = hash(s.getBytes("UTF-8"), seed)
 
-  def hash(data: Array[Byte], seed: Long): Long = {
-    val len = data.length
-    var i = 0
+  def hash(data: Array[Byte], seed: Long): Long = hash(data, 0, data.length, seed)
+
+  /** Hash of the byte RANGE [off, off+len) — bit-identical to hashing a copy
+    * of that slice, so passage windows can digest sub-ranges of one joined
+    * buffer without a per-window allocation.
+    */
+  def hash(data: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    val end = off + len
+    var i = off
     var h = 0L
     if (len >= 32) {
       var v1 = seed + P1 + P2
       var v2 = seed + P2
       var v3 = seed
       var v4 = seed - P1
-      while (i <= len - 32) {
+      while (i <= end - 32) {
         v1 = round(v1, readLong(data, i))
         v2 = round(v2, readLong(data, i + 8))
         v3 = round(v3, readLong(data, i + 16))
@@ -37,17 +43,17 @@ object XXH64 {
       h = mergeRound(h, v3); h = mergeRound(h, v4)
     } else h = seed + P5
     h += len
-    while (i <= len - 8) {
+    while (i <= end - 8) {
       h ^= round(0L, readLong(data, i))
       h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
       i += 8
     }
-    if (i <= len - 4) {
+    if (i <= end - 4) {
       h ^= (readInt(data, i) & 0xffffffffL) * P1
       h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
       i += 4
     }
-    while (i < len) {
+    while (i < end) {
       h ^= (data(i) & 0xffL) * P5
       h = java.lang.Long.rotateLeft(h, 11) * P1
       i += 1

@@ -385,6 +385,122 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("dedup: SemDeDup hot-cell cap drops mega-cells loudly, survivors still verify") {
+    val s2 = spark
+    import s2.implicits._
+    // degenerate quantizer shape: one mega-cell (most mass on centroid 1)
+    // plus a small healthy cell with its own planted duplicate
+    val cents = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val mega = (10L until 30L).map(i => (i, Seq(0.9f + 0.001f * i, 0.05f, 0f, 0f)))
+    val rows = (mega ++ Seq(
+      (1L, Seq(0.05f, 0.9f, 0f, 0f)),
+      (2L, Seq(0.10f, 1.8f, 0f, 0f)) // ×2 dup of 1 in the small cell
+    )).toDF("id", "vec")
+    val uncapped = graft.ops.Dedup.semanticDedup(rows, "id", "vec", cents, 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.exists(_._1 >= 10L),
+      s"fixture must have pairs in both cells, got $uncapped")
+    // cap = 10 < the 20-vector mega-cell: its pairs drop (LOUDLY — stderr),
+    // the small cell's planted duplicate still verifies
+    val capped = graft.ops.Dedup.semanticDedup(rows, "id", "vec", cents, 0.999,
+        maxCellSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)), s"got $capped")
+    // an over-generous cap leaves the result untouched
+    val wide = graft.ops.Dedup.semanticDedup(rows, "id", "vec", cents, 0.999,
+        maxCellSize = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wide === uncapped)
+  }
+
+  test("dedup: SemDeDup centroids-as-table — kmeansCentroids end-to-end at k=256, " +
+      "plan size O(1) in k, parity with the literal-column overload") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // ×2-scaled copies: exact in float, so argmax cell and cosine = 1 are
+    // preserved under ANY quantizer — the pairs are partition-invariant
+    val planted = base.take(10).map { case (i, v) => (i + 1000L, v.map(x => x * 2f)) }
+    val emb = (base ++ planted).toDF("id", "vec")
+    val centTbl = graft.ops.Ann.kmeansCentroids(emb, "id", "vec", k = 256, iters = 2)
+    assert(centTbl.count() === 256)
+    val pairs = graft.ops.Dedup.semanticDedup(emb, "id", "vec", centTbl, 0.999, 0)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(base.take(10).map { case (i, _) => (i, i + 1000L) }.toSet.subsetOf(got),
+      s"planted duplicates missing from $got")
+    // plan-size guard: NO per-centroid literal array columns (the Seq
+    // overload would carry 256 CreateArray literals and hit plan-size
+    // limits at SemDeDup-realistic k) — the table form broadcasts the
+    // centroids and assigns in one compiled UDF pass
+    val creates = pairs.queryExecution.analyzed.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case c: org.apache.spark.sql.catalyst.expressions.CreateArray => c
+      })
+    }.flatten.size
+    assert(creates < 10, s"$creates literal arrays in the table-overload plan")
+    // and the candidate join stays equi-shaped
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    // parity with the oracle-gated literal overload at small k: same cells
+    // (1-based, centroid order, first-max ties), same pairs. Both sides see
+    // the SAME float-rounded centroids so the dot products are bit-identical.
+    val cents8 = graft.ops.Ann.kmeansCentroids(emb, "id", "vec", k = 8, iters = 2)
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).map(_.toFloat).toSeq).toSeq
+    val k8f = cents8.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }
+      .toDF("cell", "centroid")
+    val viaSeq = graft.ops.Dedup.semanticDedup(emb, "id", "vec", cents8, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaTbl = graft.ops.Dedup.semanticDedup(emb, "id", "vec", k8f, 0.9, 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaSeq === viaTbl)
+  }
+
+  test("dedup: passage locate surface — duplicated windows at exact token offsets " +
+      "(Lee et al. §3 excision input); xxh64 twin matches the md5 oracle form") {
+    val s2 = spark
+    import s2.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),                               // shared at token 3
+      (2L, s"unrelated words here $shared and more tail content okay"), // shared at token 4
+      (3L, "totally different text with no overlap at all whatsoever friend")
+    ).toDF("doc_id", "text")
+    val loc = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", window = 8)
+      .select("doc_id", "start").as[(Long, Int)].collect().toSet
+    // 10 shared tokens ⇒ 3 duplicated 8-token windows per doc, starting at
+    // the passage offset (1-based): doc 1 at 3,4,5; doc 2 at 4,5,6
+    assert(loc === Set((1L, 3), (1L, 4), (1L, 5), (2L, 4), (2L, 5), (2L, 6)), s"got $loc")
+    // production twin: same duplicate structure under xxh64 window hashes...
+    val md5Counts = graft.ops.Dedup.passageDups(docs, "doc_id", "text", 8)
+      .select("ndocs", "occurrences").as[(Long, Long)].collect().sorted.toSeq
+    val xxCounts = graft.ops.Dedup.passageDups(docs, "doc_id", "text", 8,
+        hasher = graft.ops.Dedup.passageHashesXx)
+      .select("ndocs", "occurrences").as[(Long, Long)].collect().sorted.toSeq
+    assert(xxCounts === md5Counts)
+    val xxLoc = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", 8,
+        hasher = graft.ops.Dedup.passageHashesXx)
+      .select("doc_id", "start").as[(Long, Int)].collect().toSet
+    assert(xxLoc === loc)
+    // ...with hash values pinned to the xxh64 spec (driver recomputation),
+    // and the range-hash bit-identical to hashing a copied slice
+    val toks = shared.split(" ")
+    val expected = (0 to 2).map { i =>
+      f"${graft.util.XXH64.hash(toks.slice(i, i + 8).mkString(" "), 0L)}%016x"
+    }.toSet
+    val gotXx = graft.ops.Dedup.passageDups(docs, "doc_id", "text", 8,
+        hasher = graft.ops.Dedup.passageHashesXx)
+      .select("h").as[String].collect().toSet
+    assert(gotXx === expected)
+    val buf = "zz the quick brown zz".getBytes("UTF-8")
+    assert(graft.util.XXH64.hash(buf, 3, 15, 42L) ===
+      graft.util.XXH64.hash(java.util.Arrays.copyOfRange(buf, 3, 18), 42L))
+  }
+
   test("plan guard: passage dedup is join-free — one equi-shuffle aggregation") {
     val s2 = spark
     import s2.implicits._
