@@ -169,11 +169,18 @@ final class Indexer(
     * them as a segment via an implicit commit() — queued deletes resolve
     * first against the pre-spill view, exactly as an explicit commit, so
     * operation order (delete-then-add) is preserved across the spill.
-    * 0 disables auto-flush (explicit commit() only). The facade is the
-    * small-batch door — bulk ingest belongs to IndexBuilder/
+    * 0 (the default) disables auto-flush (explicit commit() only). The
+    * facade is the small-batch door — bulk ingest belongs to IndexBuilder/
     * CheckpointedBuild/StreamingIndexer, which never buffer on the driver.
+    *
+    * OPT-IN because the spill is a DURABLE commit, not a Lucene flush: once
+    * one fires, [[rollback]] can no longer discard the spilled docs or the
+    * queued deletes that committed with them (Lucene's setMaxBufferedDocs
+    * flushes an uncommitted segment that rollback() still drops; this
+    * engine's only durability unit is the commit). Callers who enable it
+    * accept that rollback() only covers the tail since the last spill.
     */
-  var maxBufferedDocs: Int = 100000
+  var maxBufferedDocs: Int = 0
 
   /** Buffer one document (field → value map; missing fields become null).
     * Spills to a committed segment at [[maxBufferedDocs]].
@@ -551,8 +558,20 @@ final class Indexer(
     * live segment holding tombstoned docs into one purged segment. The
     * tombstone table itself is untouched (pins name its part-files); its
     * entries for purged docs become vacuous no-ops.
+    *
+    * `autoVacuum = true` chains [[vacuumDeletes]] in the same call — the
+    * common ops loop (purge, then reclaim the now-vacuous tombstones so the
+    * next searcher's WAND liveDocs shrink) as ONE call. Pins-aware: the
+    * vacuum half refuses (and the purge half still stands) when a declared
+    * pin names the current tombstone files.
     */
-  def forceMergeDeletes(): Unit = {
+  def forceMergeDeletes(autoVacuum: Boolean = false,
+      pins: Seq[IndexPin] = Seq.empty): Unit = {
+    forceMergeDeletesImpl()
+    if (autoVacuum) { vacuumDeletes(pins); () }
+  }
+
+  private def forceMergeDeletesImpl(): Unit = {
     ensureWritable()
     lastDeleteDiscoveryCandidates = Seq.empty
     if (!fs.exists(new Path(s"$dir/deletes"))) return
@@ -683,7 +702,15 @@ final class Indexer(
     val inflight = new Path(s"$dir/.deletes-vacuum-inflight")
     fs.delete(old, true)
     fs.create(inflight, true).close()
-    require(fs.rename(delDir, old), s"vacuumDeletes: archive rename failed for $delDir")
+    try require(fs.rename(delDir, old), s"vacuumDeletes: archive rename failed for $delDir")
+    catch {
+      case e: Throwable =>
+        // nothing actually moved (deletes/ intact) — clear the marker so
+        // open() stays serviceable; only a genuine mid-swap crash (deletes/
+        // absent, marker present) should trip the open() guard (advisor r5)
+        if (fs.exists(delDir)) { try fs.delete(inflight, false) catch { case _: Throwable => () } }
+        throw e
+    }
     if (kept > 0L)
       require(fs.rename(tmp, delDir), s"vacuumDeletes: swap-in failed — old table at $old")
     else fs.delete(tmp, true) // nothing live: an absent deletes/ IS the empty table

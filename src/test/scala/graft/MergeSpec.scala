@@ -249,6 +249,35 @@ class MergeSpec extends SparkTestBase {
     w.close()
   }
 
+  test("forceMergeDeletes(autoVacuum): purge + tombstone reclaim in one call; " +
+      "the reopened view's WAND liveDocs shrink to empty") {
+    val dir = Files.createTempDirectory("graft-autovac").toString
+    val w = writer(dir)
+    for (i <- 0 until 6) addDoc(w, s"p$i", s"alpha ${if (i < 2) "drop" else "keep"} w$i")
+    w.commit()
+    w.delete(Term("content", "drop")); w.commit()
+    assert(spark.read.parquet(s"$dir/deletes").select("docId").distinct().count() === 2L)
+    // one call: purge the tombstoned docs AND reclaim the now-vacuous rows
+    w.forceMergeDeletes(autoVacuum = true)
+    assert(!new java.io.File(s"$dir/deletes").exists,
+      "auto-vacuum should have emptied (and dropped) the tombstone table")
+    assert(w.count(AllDocs) === 4L)
+    // pins-aware: with a declared pin the purge still runs but the vacuum
+    // refuses — tombstones survive for the pinned commit's copy()
+    w.delete(Term("content", "w5")); w.commit()
+    val pin = w.snapshot()
+    w.forceMergeDeletes(autoVacuum = true, pins = Seq(pin))
+    assert(new java.io.File(s"$dir/deletes").exists,
+      "a pinned tombstone table must not be vacuumed")
+    assert(w.count(AllDocs) === 3L)
+    // the surviving (pinned) tombstone is VACUOUS — the purge half did run;
+    // once the pin is no longer declared, a vacuum drops exactly that row
+    // and the next searcher's WAND liveDocs broadcast is empty
+    assert(w.vacuumDeletes() === 1L)
+    assert(!new java.io.File(s"$dir/deletes").exists)
+    w.close()
+  }
+
   test("check(repair=true): quarantines a corrupt segment, remaining index consistent " +
       "(indexers.py:528-536 CheckIndex/exorcise)") {
     val dir = Files.createTempDirectory("graft-repair").toString
