@@ -43,6 +43,22 @@ object SparkEntry {
   /** Drop memoized searchers (benchmarks recreate SparkSessions). */
   def clearCache(): Unit = cache.clear()
 
+  /** Content fingerprint of a parquet table directory: xxh64 over the sorted
+    * (name, size, mtime) listing plus the full path. Memoization keys (the
+    * built index, the minhash signature table) incorporate this instead of
+    * `String.hashCode` so (a) two distinct dirs can never collide into one
+    * artifact and (b) a corpus REWRITTEN at the same path invalidates the
+    * key instead of silently serving the stale artifact (advisor r5).
+    */
+  private def tableFingerprint(tableDir: String): String = {
+    val entries = Option(new java.io.File(tableDir).listFiles)
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filterNot(_.getName.startsWith("."))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted
+    f"${graft.util.XXH64.hash(entries.mkString("\n") + "|" + tableDir, 0L)}%016x"
+  }
+
   /** Secondary corpus: the events table indexed on event_type with ts/value
     * docvalues (exercises numeric/calendar ranges on a non-text table).
     */
@@ -51,7 +67,7 @@ object SparkEntry {
     fields = Map("event_type" -> KeywordField))
 
   def eventsSearcher(spark: SparkSession, sfDir: String): Searcher =
-    cache.getOrElseUpdate(s"$sfDir#events", {
+    cache.getOrElseUpdate(s"$sfDir#events@${tableFingerprint(s"$sfDir/events.parquet")}", {
       val src = spark.read.parquet(s"$sfDir/events.parquet")
       val idx = IndexBuilder.build(src, eventsSchema).cached()
       idx.blocks.count()
@@ -67,10 +83,11 @@ object SparkEntry {
     * (BENCH_r01 q_term_topk 0.93 s warm vs 0.18 s cold). Only the term
     * dictionary (small, hot: every docFreq/idf lookup) stays pinned.
     */
-  def searcher(spark: SparkSession, sfDir: String): Searcher =
-    cache.getOrElseUpdate(sfDir, {
+  def searcher(spark: SparkSession, sfDir: String): Searcher = {
+    val fp = tableFingerprint(s"$sfDir/documents.parquet")
+    cache.getOrElseUpdate(s"$sfDir@$fp", {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-index-" +
-        s"${ProcessHandle.current().pid()}-${Integer.toHexString(sfDir.hashCode)}"
+        s"${ProcessHandle.current().pid()}-$fp"
       val built = IndexBuilder.build(corpus(spark, sfDir), schema)
       built.save(dir)
       built.docs.unpersist()
@@ -79,6 +96,7 @@ object SparkEntry {
       idx.termDict.cache().count()
       new Searcher(idx)
     })
+  }
 
   /** Quantize a double score for engine↔oracle comparison. */
   private def qz(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
@@ -130,8 +148,11 @@ object SparkEntry {
     val sig = planted.select(col("doc_id"),
       graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
       .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
+    // keyed on the documents table's content fingerprint (never String
+    // .hashCode): distinct dirs cannot collide, and a corpus rewritten at the
+    // same path mints a NEW key instead of serving the stale signature table
     val sigDir = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-" +
-      s"${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+      s"${ProcessHandle.current().pid()}-${tableFingerprint(s"$dir/documents.parquet")}"
     // the returned plan reads sigDir lazily, so it cannot be deleted inline;
     // a (deduped) shutdown hook reclaims it when the JVM exits instead of
     // accumulating one copy per benchmark process
@@ -259,6 +280,13 @@ object SparkEntry {
       graft.ops.Dedup.passageDups(
           sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", window = 8)
         .select(col("h"), col("ndocs"), col("occurrences"))
+    }),
+    // the EXCISION surface (Lee et al. §3): every occurrence of a cross-doc
+    // duplicated window located by its 1-based token start
+    "q_passage_locations" -> ((sp, dir) => {
+      graft.ops.Dedup.passageDupLocations(
+          sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", window = 8)
+        .select(col("doc_id"), col("start").cast("long").as("win_start"), col("h"))
     }),
     "q_token_stats" -> ((sp, dir) => {
       searcher(sp, dir).index.docs
@@ -584,6 +612,19 @@ object SparkEntry {
         |)
         |SELECT h, count(DISTINCT doc_id) AS ndocs, count(*) AS occurrences
         |FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "q_passage_locations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS win_start, md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) _l
+        |  WHERE len(ts) >= 8
+        |), dup AS (
+        |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT doc_id, win_start, h FROM wins JOIN dup USING (h)""".stripMargin,
     "q_token_stats" -> // over ALL docs (zero-token docs included), unlike the
       // index-side dl CTE whose docs define the field's docCount
       s"""$prelude SELECT c.docid, count(t.term) AS n_tokens
