@@ -363,18 +363,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
     }),
     // SemDeDup-style semantic dedup: candidates only within a nearest-
-    // centroid cell (8 fixed centroid rows 31..38 play the k-means output;
+    // centroid cell (32 fixed centroid rows 31..62 play the k-means output;
     // argmax is FIRST max, 1-based, in both engines). A ×2-scaled planted
     // duplicate keeps every dot-product sign AND ratio, so it lands in its
     // original's cell under any centroid set — the 25 planted pairs are
     // invariant to the partition, like the hyperplane queries above.
+    // k = 32 (was 8): SemDeDup's candidate volume is Σ N_c²/2, so k is THE
+    // cost knob and must grow with N (Abbas et al. run k = 11k at 230M) —
+    // at sf0.1's 2k vectors, k=8 left ~256k verify pairs (64× any other
+    // query's candidates, the measured warm-p99 tail at 2.8 s); k=32 cuts
+    // it 4× with the result rows unchanged (planted pairs are partition-
+    // invariant; the corpus's natural max cosine ~0.51 never verifies).
     "q_dedup_semantic" -> ((sp, dir) => {
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val planted = emb.select(col("vec_id"), col("embedding"))
         .unionAll(emb.filter(col("vec_id") < 25)
           .select((col("vec_id") + 10000).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-      val cents = emb.filter(col("vec_id").between(31, 38)).orderBy("vec_id")
+      val cents = emb.filter(col("vec_id").between(31, 62)).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0))
       graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", cents.toSeq, 0.999)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
@@ -713,10 +719,10 @@ object SparkEntry {
         s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
       val nrm = (a: String) =>
         s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-      val ctDefs = (0 until 8)
+      val ctDefs = (0 until 32)
         .map(i => s"(SELECT embedding FROM embeddings WHERE vec_id = ${i + 31}) AS c$i")
         .mkString(",\n         ")
-      val dlist = (0 until 8).map(i => dot("p.embedding", s"ct.c$i")).mkString("[", ", ", "]")
+      val dlist = (0 until 32).map(i => dot("p.embedding", s"ct.c$i")).mkString("[", ", ", "]")
       s"""WITH planted AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
