@@ -370,11 +370,17 @@ object SparkEntry {
     // invariant to the partition, like the hyperplane queries above.
     // k = 32 (was 8): SemDeDup's candidate volume is Σ N_c²/2, so k is THE
     // cost knob and must grow with N (Abbas et al. run k = 11k at 230M) —
-    // at sf0.1's 2k vectors, k=8 left ~256k verify pairs (64× any other
-    // query's candidates, the measured warm-p99 tail at 2.8 s); k=32 cuts
-    // it 4× with the result rows unchanged (planted pairs are partition-
+    // at sf0.1's 2k vectors, k=8 left ~256k verify pairs; k=32 cuts it 4×
+    // with the result rows unchanged (planted pairs are partition-
     // invariant; the corpus's natural max cosine ~0.51 never verifies).
+    // Runs the production centroids-as-TABLE overload (one broadcast +
+    // one compiled argmax UDF): the Seq form's k literal-dot columns made
+    // the warm latency GROW with k (2.8 s @ k=8 → 3.9 s @ k=32 on a
+    // clean window — plan/codegen cost, not data), while the table form
+    // is plan-size O(1) in k. Result parity with the Seq form is pinned
+    // by the OpsSpec gold AND this oracle row.
     "q_dedup_semantic" -> ((sp, dir) => {
+      import sp.implicits._
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val planted = emb.select(col("vec_id"), col("embedding"))
         .unionAll(emb.filter(col("vec_id") < 25)
@@ -382,7 +388,10 @@ object SparkEntry {
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
       val cents = emb.filter(col("vec_id").between(31, 62)).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0))
-      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", cents.toSeq, 0.999)
+      val centTbl = cents.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", centTbl, 0.999, 0)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
     }),
     "q_ann_topk" -> ((sp, dir) => {

@@ -206,9 +206,34 @@ object Dedup {
       s"tables must be in [1, ${hyperplanes.length}] (got $tables)")
     val bandSize = (hyperplanes.length + tables - 1) / tables
     val bands = hyperplanes.grouped(bandSize).toSeq
-    val bucketCols = bands.zipWithIndex.map { case (hs, t) =>
-      struct(lit(t).as("t"), Ann.signBucket(col(vecCol), hs).as("b"))
-    }
+    // ALL band buckets in ONE compiled UDF pass per vector. The column form
+    // (per-band struct of lit(t) + signBucket's H when(dot > 0) columns,
+    // each dot against a CreateArray literal) puts H literal arrays and H
+    // UDF dots into the plan — measured on the sf0.1 sweep: plan/codegen
+    // cost GROWS with H and dominates the query (the same disease
+    // semanticDedup's Seq overload had; its table overload is the same
+    // cure). Bit/band order is unchanged: band t = planes [t*bandSize,
+    // (t+1)*bandSize), local bit i = sign(v · plane_i) — dot folded in
+    // element order, strictly > 0, identical to Ann.signBucket and the
+    // DuckDB oracle.
+    val planes: Array[Array[Array[Float]]] = bands.map(_.map(_.toArray).toArray).toArray
+    val bandBuckets = udf((v: Seq[Float]) =>
+      if (v == null) null
+      else planes.indices.map { t =>
+        val hs = planes(t)
+        var b = 0L
+        var i = 0
+        while (i < hs.length) {
+          val h = hs(i)
+          var d = 0.0
+          var j = 0
+          val n = math.min(h.length, v.length)
+          while (j < n) { d += h(j).toDouble * v(j).toDouble; j += 1 }
+          if (d > 0) b |= 1L << i
+          i += 1
+        }
+        (t, b)
+      })
     // Candidate generation stays NARROW — (id, bucket) rows only — so the
     // bucket self-join and the multi-band dedup shuffle move ids, not
     // vectors. The vectors attach AFTER dedup via two equi-joins on id
@@ -216,7 +241,7 @@ object Dedup {
     // scale) — shuffling dim-sized payloads through the candidate join was
     // ~2x the bytes for zero information.
     val bucketed = df.select(col(idCol).as("id"),
-      explode(array(bucketCols: _*)).as("bucket"))
+      explode(bandBuckets(col(vecCol))).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     val cand = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
