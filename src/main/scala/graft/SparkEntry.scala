@@ -391,7 +391,7 @@ object SparkEntry {
       val centTbl = cents.zipWithIndex
         .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
-      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", centTbl, 0.999, 0)
+      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", centTbl, 0.999, 0, 1)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
     }),
     "q_ann_topk" -> ((sp, dir) => {

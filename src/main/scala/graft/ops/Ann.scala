@@ -8,62 +8,23 @@ import org.apache.spark.sql.functions._
   * bucket) variant as the scale path — bucketing turns the scan into a
   * pruned subset before the exact re-rank, the standard IVF/LSH shape.
   *
-  * The vector math is COMPILED single-pass UDFs: Spark's higher-order
-  * array expressions (`aggregate`/`zip_with`) are CodegenFallback —
-  * interpreted per element — so a 64-dim cosine paid hundreds of boxed
-  * evaluations per row (same trap the language-id op hit in round 2).
-  * The UDFs fold in element order with per-accumulator sequencing
-  * identical to the HOF form, so every result is bit-identical and the
-  * DuckDB oracle rows are unaffected.
+  * The vector math is NATIVE codegen'd Catalyst expressions
+  * ([[graft.functions.VectorExpressions]]): Spark's higher-order array
+  * expressions (`aggregate`/`zip_with`) are CodegenFallback — interpreted
+  * per element (measured ~20× slower in round 2) — and the Scala-UDF form
+  * that replaced them still boxed every array into a `Seq[Float]` and cut
+  * whole-stage codegen at each call. The expressions emit a primitive
+  * `getFloat` loop inside the generated pipeline, folding in element order
+  * with per-accumulator sequencing identical to both prior forms, so every
+  * result is bit-identical and the DuckDB oracle rows are unaffected.
   */
 object Ann {
 
-  /** Sequential-fold dot product (deterministic order for oracle parity). */
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    if (a == null || b == null) null
-    else {
-      var d = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-      java.lang.Double.valueOf(d)
-    }: java.lang.Double)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
-  /** One-pass cosine: dot and both norms in a single traversal, each
-    * accumulator folding in element order (bit-identical to the separate
-    * sequential folds).
-    */
-  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    if (a == null || b == null) null
-    else {
-      var d = 0.0
-      var na = 0.0
-      var nb = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val x = a(i).toDouble
-        val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      java.lang.Double.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
-    }: java.lang.Double)
+  def norm(a: Column): Column = graft.functions.VectorExpressions.norm(a)
 
-  private val normUdf = udf((a: Seq[Float]) =>
-    if (a == null) null
-    else {
-      var na = 0.0
-      var i = 0
-      while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
-      java.lang.Double.valueOf(math.sqrt(na))
-    }: java.lang.Double)
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
-
-  def norm(a: Column): Column = normUdf(a)
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine(a, b)
 
   /** Exact top-k by cosine against a literal query vector. */
   def topkBrute(df: DataFrame, idCol: String, vecCol: String,

@@ -308,9 +308,19 @@ object Dedup {
     * Assignment is deterministic: cells sort by id and strict `>` keeps the
     * FIRST max — identical tie behavior to the Seq overload when cell ids
     * are 1..k in centroid order.
+    *
+    * `nprobe` > 1 is the RECALL knob for the method's documented cross-cell
+    * miss (the same multi-probe answer as `Ann.topkIvf`): each vector joins
+    * candidate generation in its `nprobe` nearest cells, so a near-dup pair
+    * straddling one boundary is found whenever any probed cell is shared.
+    * Candidate rows grow ×nprobe (candidate pairs ≲ ×nprobe² within the
+    * shared cells) — the documented price; pairs sharing several probed
+    * cells dedupe before the verify.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, minCos: Double, maxCellSize: Int): DataFrame = {
+      centroids: DataFrame, minCos: Double, maxCellSize: Int,
+      nprobe: Int): DataFrame = { // no default: the Seq overload holds them
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val spark = df.sparkSession
     val cents: Array[(Long, Array[Double])] = centroids
       .select(col("cell").cast("long"), col("centroid"))
@@ -319,13 +329,16 @@ object Dedup {
         r.getSeq[Any](1).map { case n: java.lang.Number => n.doubleValue }.toArray)
       .sortBy(_._1)
     require(cents.nonEmpty, "centroids table must be non-empty")
+    val p = math.min(nprobe, cents.length)
     val bc = spark.sparkContext.broadcast(cents)
+    // top-p cells by (dot desc, table order asc) — p=1 reduces to the
+    // first-max argmax, bit-compatible with the Seq overload
     val assign = udf((v: Seq[Float]) =>
       if (v == null) null
       else {
         val cs = bc.value
-        var best = 0
-        var bestDot = Double.NegativeInfinity
+        val bestIdx = new Array[Int](p)
+        val bestDot = Array.fill(p)(Double.NegativeInfinity)
         var c = 0
         while (c < cs.length) {
           val cent = cs(c)._2
@@ -333,15 +346,23 @@ object Dedup {
           var i = 0
           val n = math.min(cent.length, v.length)
           while (i < n) { d += cent(i) * v(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c } // strict > = first max
+          // insertion into the tiny top-p, stable (strict > keeps earlier
+          // table rows ahead on ties)
+          var slot = p
+          while (slot > 0 && d > bestDot(slot - 1)) slot -= 1
+          if (slot < p) {
+            var m = p - 1
+            while (m > slot) { bestDot(m) = bestDot(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1 }
+            bestDot(slot) = d
+            bestIdx(slot) = c
+          }
           c += 1
         }
-        java.lang.Long.valueOf(cs(best)._1)
-      }: java.lang.Long)
+        bestIdx.take(math.min(p, cs.length)).map(cs(_)._1).toSeq
+      }: Seq[Long])
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cells = vecs.select(col("id"), assign(col("v")).as("cell"))
-      .filter(col("cell").isNotNull)
-    semanticPairs(vecs, cells, minCos, maxCellSize)
+    val cells = vecs.select(col("id"), explode(assign(col("v"))).as("cell"))
+    semanticPairs(vecs, cells, minCos, maxCellSize, dedupe = p > 1)
   }
 
   /** Shared SemDeDup pairing tail: optional hot-cell cap, within-cell
@@ -349,7 +370,7 @@ object Dedup {
     * cosine verify.
     */
   private def semanticPairs(vecs: DataFrame, cellsIn: DataFrame, minCos: Double,
-      maxCellSize: Int): DataFrame = {
+      maxCellSize: Int, dedupe: Boolean = false): DataFrame = {
     val cells =
       if (maxCellSize <= 0) cellsIn
       else {
@@ -368,8 +389,11 @@ object Dedup {
       }
     val a = cells.as("a")
     val b = cells.as("b")
-    val cand = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    val cand0 = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // multi-probe assignment (nprobe > 1) can emit a pair once per shared
+    // probed cell — dedupe ids-only before the (more expensive) verify
+    val cand = if (dedupe) cand0.dropDuplicates("id_a", "id_b") else cand0
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")

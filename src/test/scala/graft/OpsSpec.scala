@@ -383,6 +383,64 @@ class OpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // nprobe = 2 (the IVF multi-probe recall knob on the table overload):
+    // vectors join candidates in their 2 nearest cells, so the straddle
+    // pair (3,4) — each the other's 2nd-nearest cell's member — is FOUND;
+    // nprobe = 1 on the same table stays identical to the Seq overload
+    val tbl = cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }
+      .toDF("cell", "centroid")
+    val p1 = graft.ops.Dedup.semanticDedup(rows, "id", "vec", tbl, 0.999, 0, 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1 === Set((1L, 2L)))
+    val p2 = graft.ops.Dedup.semanticDedup(rows, "id", "vec", tbl, 0.999, 0, nprobe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2 === Set((1L, 2L), (3L, 4L)), s"got $p2")
+  }
+
+  test("native vector expressions: codegen'd dot/cosine/norm — pinned values, " +
+      "null/length edges, runs inside WholeStageCodegen with no ScalaUDF") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq(
+      (1L, Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      (2L, Seq(0f, 0f), Seq(0f, 0f)),     // zero norms → NaN cosine (0/0)
+      (3L, Seq(1f, 2f), Seq(3f, 4f, 5f)), // length mismatch → min-prefix fold
+      (4L, null, Seq(1f, 2f))             // null input → null result
+    ).toDF("id", "a", "b")
+    val sel = rows.select($"id", graft.ops.Ann.dot($"a", $"b").as("d"),
+      graft.ops.Ann.cosine($"a", $"b").as("c"), graft.ops.Ann.norm($"a").as("n"))
+    val got = sel.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L)._1 === Some(32.0))
+    assert(got(1L)._2 === Some(32.0 / (math.sqrt(14.0) * math.sqrt(77.0))))
+    assert(got(1L)._3 === Some(math.sqrt(14.0)))
+    assert(got(2L)._1 === Some(0.0) && got(2L)._2.exists(_.isNaN) && got(2L)._3 === Some(0.0))
+    assert(got(3L)._1 === Some(11.0)) // 1·3 + 2·4 over the common prefix
+    assert(got(4L)._1 === None && got(4L)._2 === None && got(4L)._3 === None)
+    // the point of the Expression form: the kernels run INSIDE whole-stage
+    // codegen (primitive getFloat loop), not as a boxing ScalaUDF boundary.
+    // A local Seq collapses to LocalTableScan (interpreted eval — which the
+    // value checks above just exercised), so drive doGenCode through a
+    // parquet scan and cross-check the two paths agree.
+    val pq = java.nio.file.Files.createTempDirectory("graft-vexpr").toString
+    rows.write.mode("overwrite").parquet(pq)
+    val viaCodegen = s2.read.parquet(pq)
+      .select($"id", graft.ops.Ann.dot($"a", $"b").as("d"),
+        graft.ops.Ann.cosine($"a", $"b").as("c"), graft.ops.Ann.norm($"a").as("n"))
+    val plan = viaCodegen.queryExecution.executedPlan.toString
+    // "*(n)" is the executedPlan notation for a WholeStageCodegen stage; the
+    // project carrying the kernels must sit inside one, with no UDF node
+    assert(plan.contains("*(1) Project") && plan.contains("float_dot"), plan.take(1000))
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"),
+      plan.take(1000))
+    val cg = viaCodegen.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for (id <- Seq(1L, 3L, 4L)) assert(cg(id) === got(id), s"codegen vs eval for id=$id")
+    assert(cg(2L)._1 === Some(0.0) && cg(2L)._2.exists(_.isNaN) && cg(2L)._3 === Some(0.0))
   }
 
   test("dedup: SemDeDup hot-cell cap drops mega-cells loudly, survivors still verify") {
@@ -427,7 +485,7 @@ class OpsSpec extends SparkTestBase {
     val emb = (base ++ planted).toDF("id", "vec")
     val centTbl = graft.ops.Ann.kmeansCentroids(emb, "id", "vec", k = 256, iters = 2)
     assert(centTbl.count() === 256)
-    val pairs = graft.ops.Dedup.semanticDedup(emb, "id", "vec", centTbl, 0.999, 0)
+    val pairs = graft.ops.Dedup.semanticDedup(emb, "id", "vec", centTbl, 0.999, 0, 1)
     val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(base.take(10).map { case (i, _) => (i, i + 1000L) }.toSet.subsetOf(got),
       s"planted duplicates missing from $got")
@@ -455,7 +513,7 @@ class OpsSpec extends SparkTestBase {
       .toDF("cell", "centroid")
     val viaSeq = graft.ops.Dedup.semanticDedup(emb, "id", "vec", cents8, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val viaTbl = graft.ops.Dedup.semanticDedup(emb, "id", "vec", k8f, 0.9, 0)
+    val viaTbl = graft.ops.Dedup.semanticDedup(emb, "id", "vec", k8f, 0.9, 0, 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(viaSeq === viaTbl)
   }
