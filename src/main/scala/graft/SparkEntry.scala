@@ -104,6 +104,9 @@ object SparkEntry {
   /** Hot-bucket cap exercised by q_dedup_minhash_capped (both sides). */
   val MinhashCap = 2
 
+  /** Hot-cell cap exercised by q_dedup_semantic_capped (both sides). */
+  val SemanticCap = 20
+
   private val cleanupRegistered = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   /** Delete `path` recursively at JVM exit (registered once per path). */
@@ -392,6 +395,24 @@ object SparkEntry {
         .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
       graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", centTbl, 0.999, 0, 1)
+        .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
+    }),
+    // hot-cell cap engaged (SemanticCap = 20, which the larger natural
+    // cells exceed at every gate scale): over-cap cells drop from candidate
+    // generation entirely — the capped/uncapped pair mirrors the
+    // q_dedup_minhash / _capped pattern so BOTH guard paths are
+    // oracle-gated, not gold-only. Runs the Seq overload so both
+    // implementations stay contract-exercised.
+    "q_dedup_semantic_capped" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val cents = emb.filter(col("vec_id").between(31, 62)).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0))
+      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", cents.toSeq, 0.999,
+          maxCellSize = SemanticCap)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
     }),
     "q_ann_topk" -> ((sp, dir) => {
@@ -723,35 +744,8 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
          |FROM pairs WHERE cos >= 0.999""".stripMargin
     },
-    "q_dedup_semantic" -> {
-      val dot = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-      val nrm = (a: String) =>
-        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-      val ctDefs = (0 until 32)
-        .map(i => s"(SELECT embedding FROM embeddings WHERE vec_id = ${i + 31}) AS c$i")
-        .mkString(",\n         ")
-      val dlist = (0 until 32).map(i => dot("p.embedding", s"ct.c$i")).mkString("[", ", ", "]")
-      s"""WITH planted AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
-         |  FROM embeddings WHERE vec_id < 25
-         |), ct AS (
-         |  SELECT $ctDefs
-         |), cells AS (
-         |  SELECT p.vec_id, p.embedding,
-         |    list_position(dlist, list_aggregate(dlist, 'max')) AS cell
-         |  FROM (SELECT p.vec_id, p.embedding, $dlist AS dlist
-         |        FROM planted p CROSS JOIN ct) p
-         |), pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${dot("a.embedding", "b.embedding")} / (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cos
-         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |)
-         |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
-         |FROM pairs WHERE cos >= 0.999""".stripMargin
-    },
+    "q_dedup_semantic" -> semanticOracleSql(cap = 0),
+    "q_dedup_semantic_capped" -> semanticOracleSql(cap = SemanticCap),
     "q_dedup_cosine_banded" -> {
       val dot = (a: String, b: String) =>
         s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -904,6 +898,46 @@ object SparkEntry {
 
   /** Token regex for the oracle (single-quote doubled for SQL literals). */
   private val tokRegexSql = "[a-z0-9_]+(?:[''.][a-z0-9_]+)*"
+
+  /** DuckDB mirror of [[graft.ops.Dedup.semanticDedup]] (Seq overload) —
+    * ONE template for the capped and uncapped contract queries (`cap = 0`
+    * ⇒ no hot-cell anti-join), same pattern as [[minhashOracleSql]].
+    */
+  private def semanticOracleSql(cap: Int): String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    val nrm = (a: String) =>
+      s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val ctDefs = (0 until 32)
+      .map(i => s"(SELECT embedding FROM embeddings WHERE vec_id = ${i + 31}) AS c$i")
+      .mkString(",\n         ")
+    val dlist = (0 until 32).map(i => dot("p.embedding", s"ct.c$i")).mkString("[", ", ", "]")
+    val cellSrc =
+      if (cap <= 0) "cells"
+      else
+        s"""(SELECT c.* FROM cells c ANTI JOIN
+           |   (SELECT cell FROM cells GROUP BY cell HAVING count(*) > $cap) h
+           |   ON c.cell = h.cell)""".stripMargin
+    s"""WITH planted AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+       |  FROM embeddings WHERE vec_id < 25
+       |), ct AS (
+       |  SELECT $ctDefs
+       |), cells AS (
+       |  SELECT p.vec_id, p.embedding,
+       |    list_position(dlist, list_aggregate(dlist, 'max')) AS cell
+       |  FROM (SELECT p.vec_id, p.embedding, $dlist AS dlist
+       |        FROM planted p CROSS JOIN ct) p
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dot("a.embedding", "b.embedding")} / (${nrm("a.embedding")} * ${nrm("b.embedding")}) AS cos
+       |  FROM $cellSrc a JOIN $cellSrc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
+       |FROM pairs WHERE cos >= 0.999""".stripMargin
+  }
 
   /** DuckDB mirror of [[minhashPipeline]] — ONE template for the capped and
     * uncapped contract queries (`cap = 0` ⇒ no hot-bucket anti-join).
