@@ -401,9 +401,11 @@ object SparkEntry {
     // cells exceed at every gate scale): over-cap cells drop from candidate
     // generation entirely — the capped/uncapped pair mirrors the
     // q_dedup_minhash / _capped pattern so BOTH guard paths are
-    // oracle-gated, not gold-only. Runs the Seq overload so both
-    // implementations stay contract-exercised.
+    // oracle-gated, not gold-only. Table overload like the uncapped query
+    // (the k-literal Seq form is the measured plan-size tail at k=32; it
+    // stays correctness-pinned by the OpsSpec parity golds at small k).
     "q_dedup_semantic_capped" -> ((sp, dir) => {
+      import sp.implicits._
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val planted = emb.select(col("vec_id"), col("embedding"))
         .unionAll(emb.filter(col("vec_id") < 25)
@@ -411,8 +413,11 @@ object SparkEntry {
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
       val cents = emb.filter(col("vec_id").between(31, 62)).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0))
-      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", cents.toSeq, 0.999,
-          maxCellSize = SemanticCap)
+      val centTbl = cents.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+      graft.ops.Dedup.semanticDedup(planted, "vec_id", "embedding", centTbl, 0.999,
+          SemanticCap, 1)
         .select(col("id_a"), col("id_b"), qz(col("cos")).as("cos_q"))
     }),
     "q_ann_topk" -> ((sp, dir) => {
