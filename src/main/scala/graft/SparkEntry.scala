@@ -44,19 +44,48 @@ object SparkEntry {
   def clearCache(): Unit = cache.clear()
 
   /** Content fingerprint of a parquet table directory: xxh64 over the sorted
-    * (name, size, mtime) listing plus the full path. Memoization keys (the
-    * built index, the minhash signature table) incorporate this instead of
-    * `String.hashCode` so (a) two distinct dirs can never collide into one
-    * artifact and (b) a corpus REWRITTEN at the same path invalidates the
-    * key instead of silently serving the stale artifact (advisor r5).
+    * recursive (relative-path, size, mtime) listing plus the full path.
+    * Memoization keys (the built index, the minhash signature table)
+    * incorporate this instead of `String.hashCode` so (a) two distinct dirs
+    * can never collide into one artifact and (b) a corpus REWRITTEN at the
+    * same path invalidates the key instead of silently serving the stale
+    * artifact (advisor r5). Listed via the Hadoop FileSystem API — recursive
+    * and scheme-agnostic (local, hdfs://, s3a://) — not `java.io.File`,
+    * which silently degraded to a path-only fingerprint on non-local or
+    * partitioned (subdirectory) layouts (advisor r6).
     */
-  private def tableFingerprint(tableDir: String): String = {
-    val entries = Option(new java.io.File(tableDir).listFiles)
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filterNot(_.getName.startsWith("."))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .sorted
-    f"${graft.util.XXH64.hash(entries.mkString("\n") + "|" + tableDir, 0L)}%016x"
+  private def tableFingerprint(spark: SparkSession, tableDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(path)) {
+      val base = fs.makeQualified(path).toString
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_")) {
+          val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+          entries += s"$rel:${st.getLen}:${st.getModificationTime}"
+        }
+      }
+    }
+    f"${graft.util.XXH64.hash(entries.sorted.mkString("\n") + "|" + tableDir, 0L)}%016x"
+  }
+
+  /** Memoize under `"$prefix@$fp"`, EVICTING superseded entries for the same
+    * prefix first: a corpus rewritten in-place mints a new fingerprint, and
+    * without eviction the stale searcher (plus its pinned termDict cache)
+    * would live for the JVM (advisor r6). The superseded tmp index dirs are
+    * reclaimed by the same JVM-exit hook that covers live ones.
+    */
+  private def memoized(prefix: String, fp: String)(build: => Searcher): Searcher = {
+    cache.keys.filter(k => k.startsWith(s"$prefix@") && k != s"$prefix@$fp")
+      .foreach { stale =>
+        cache.remove(stale).foreach { s =>
+          s.index.termDict.unpersist(); s.index.blocks.unpersist(); s.index.docs.unpersist()
+        }
+      }
+    cache.getOrElseUpdate(s"$prefix@$fp", build)
   }
 
   /** Secondary corpus: the events table indexed on event_type with ts/value
@@ -67,12 +96,12 @@ object SparkEntry {
     fields = Map("event_type" -> KeywordField))
 
   def eventsSearcher(spark: SparkSession, sfDir: String): Searcher =
-    cache.getOrElseUpdate(s"$sfDir#events@${tableFingerprint(s"$sfDir/events.parquet")}", {
+    memoized(s"$sfDir#events", tableFingerprint(spark, s"$sfDir/events.parquet")) {
       val src = spark.read.parquet(s"$sfDir/events.parquet")
       val idx = IndexBuilder.build(src, eventsSchema).cached()
       idx.blocks.count()
       new Searcher(idx)
-    })
+    }
 
   /** Parquet-backed searcher: the index is built once, persisted in the
     * save() layout (postings range-laid-out by (field, term) so per-term
@@ -84,10 +113,11 @@ object SparkEntry {
     * dictionary (small, hot: every docFreq/idf lookup) stays pinned.
     */
   def searcher(spark: SparkSession, sfDir: String): Searcher = {
-    val fp = tableFingerprint(s"$sfDir/documents.parquet")
-    cache.getOrElseUpdate(s"$sfDir@$fp", {
+    val fp = tableFingerprint(spark, s"$sfDir/documents.parquet")
+    memoized(sfDir, fp) {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-index-" +
         s"${ProcessHandle.current().pid()}-$fp"
+      cleanupOnExit(dir)
       val built = IndexBuilder.build(corpus(spark, sfDir), schema)
       built.save(dir)
       built.docs.unpersist()
@@ -95,7 +125,7 @@ object SparkEntry {
       val idx = IndexBuilder.load(spark, dir)
       idx.termDict.cache().count()
       new Searcher(idx)
-    })
+    }
   }
 
   /** Quantize a double score for engine↔oracle comparison. */
@@ -155,7 +185,7 @@ object SparkEntry {
     // .hashCode): distinct dirs cannot collide, and a corpus rewritten at the
     // same path mints a NEW key instead of serving the stale signature table
     val sigDir = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-" +
-      s"${ProcessHandle.current().pid()}-${tableFingerprint(s"$dir/documents.parquet")}"
+      s"${ProcessHandle.current().pid()}-${tableFingerprint(sp, s"$dir/documents.parquet")}"
     // the returned plan reads sigDir lazily, so it cannot be deleted inline;
     // a (deduped) shutdown hook reclaims it when the JVM exits instead of
     // accumulating one copy per benchmark process

@@ -727,14 +727,19 @@ class Searcher(val index: Index) extends Serializable {
     * after any query is an error, not a silent no-op (advisor r5).
     */
   def wandMaxTombstones: Int = wandMaxTombstones0
-  def wandMaxTombstones_=(v: Int): Unit = {
+  // synchronized on `this` — the SAME monitor the lazy-val initializer below
+  // holds while it runs (Scala lazy vals initialize inside synchronized(this)),
+  // so a setter racing a first search either completes before the initializer
+  // reads the cap, or blocks until initialization finishes and then THROWS on
+  // the latch — never a silently-ignored assignment (advisor r6)
+  def wandMaxTombstones_=(v: Int): Unit = this.synchronized {
     require(!wandTombstonesLatched,
       "wandMaxTombstones latches on the first search — set it before querying " +
         "(or open a fresh Searcher on the index)")
     wandMaxTombstones0 = v
   }
   private var wandMaxTombstones0: Int = 4 << 20
-  @volatile private var wandTombstonesLatched = false
+  private var wandTombstonesLatched = false
 
   /** Sorted tombstoned docIds for the WAND cursors (None = no deletes OR the
     * set overflowed the broadcast cap — [[wandPartitions]] then ships the

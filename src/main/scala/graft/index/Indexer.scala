@@ -190,6 +190,14 @@ final class Indexer(
     val m = doc.toMap
     buf += Row.fromSeq(sourceSchema.fieldNames.toSeq.map(f => m.get(f).orNull))
     if (maxBufferedDocs > 0 && buf.size >= maxBufferedDocs) commit()
+    // auto-flush is opt-in (rollback durability, above) — but its OFF state
+    // must not fail SILENTLY by OOM: warn at every 100k buffered (the old
+    // auto-flush default) so an unbounded add() loop names itself (advisor r6)
+    else if (maxBufferedDocs == 0 && buf.size % 100000 == 0)
+      System.err.println(s"[graft.Indexer] ${buf.size} docs buffered on the DRIVER with " +
+        "auto-flush disabled (maxBufferedDocs = 0) — commit() to spill, or set " +
+        "maxBufferedDocs (accepting that each spill is a durable commit rollback " +
+        "cannot discard)")
   }
 
   /** Queue a delete-by-query, applied at commit (tombstones). */
