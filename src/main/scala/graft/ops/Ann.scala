@@ -38,12 +38,18 @@ object Ann {
   /** Sign-bucket id for a vector against a set of hyperplanes:
     * bit i = (v · h_i > 0). With deterministic hyperplanes this is the
     * bucketing key for LSH-pruned search (search only the query's bucket).
+    *
+    * ONE native expression carrying the hyperplane matrix as a reference
+    * object — the prior composition (H literal arrays + H dot columns +
+    * when/sum) had plan/codegen cost GROWING with H (the k-literal plan
+    * disease round 6 measured in cosineNearDup/semanticDedup; this was its
+    * last surviving instance). Bit/sign semantics unchanged; one deliberate
+    * edge change: a NULL vector now yields a NULL bucket (filtered from
+    * LSH candidacy) instead of aliasing bucket 0.
     */
   def signBucket(vec: Column, hyperplanes: Seq[Seq[Float]]): Column =
-    hyperplanes.zipWithIndex.map { case (h, i) =>
-      val hc = array(h.map(v => lit(v)): _*)
-      when(dot(vec, hc) > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.MatrixExpressions.signBucket(vec,
+      hyperplanes.map(_.toArray).toArray)
 
   /** Driver-side bucket id of a query vector. */
   def queryBucket(query: Seq[Float], hyperplanes: Seq[Seq[Float]]): Long =

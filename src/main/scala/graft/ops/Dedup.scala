@@ -206,45 +206,33 @@ object Dedup {
       s"tables must be in [1, ${hyperplanes.length}] (got $tables)")
     val bandSize = (hyperplanes.length + tables - 1) / tables
     val bands = hyperplanes.grouped(bandSize).toSeq
-    // ALL band buckets in ONE compiled UDF pass per vector. The column form
-    // (per-band struct of lit(t) + signBucket's H when(dot > 0) columns,
-    // each dot against a CreateArray literal) puts H literal arrays and H
-    // UDF dots into the plan — measured on the sf0.1 sweep: plan/codegen
-    // cost GROWS with H and dominates the query (the same disease
-    // semanticDedup's Seq overload had; its table overload is the same
-    // cure). Bit/band order is unchanged: band t = planes [t*bandSize,
-    // (t+1)*bandSize), local bit i = sign(v · plane_i) — dot folded in
-    // element order, strictly > 0, identical to Ann.signBucket and the
-    // DuckDB oracle.
+    // ALL band buckets in ONE pass per vector — a NATIVE expression carrying
+    // the plane matrix as a reference object ([[graft.functions
+    // .MatrixExpressions.bandBuckets]]). History: the column form (per-band
+    // struct of lit(t) + H when(dot > 0) columns against CreateArray
+    // literals) made plan/codegen cost GROW with H (measured on the sf0.1
+    // sweep — the k-literal plan disease); round 6's compiled UDF cured the
+    // plan but still boxed every vector into a Seq[Float] and cut
+    // whole-stage codegen; the expression keeps the O(1)-in-H plan AND runs
+    // as a primitive loop inside codegen. Bit/band order unchanged: band
+    // t = planes [t*bandSize, (t+1)*bandSize), local bit i =
+    // sign(v · plane_i) — dot folded in element order, strictly > 0,
+    // identical to Ann.signBucket and the DuckDB oracle. posexplode yields
+    // the (band, bucket) candidate key the struct-explode used to carry.
     val planes: Array[Array[Array[Float]]] = bands.map(_.map(_.toArray).toArray).toArray
-    val bandBuckets = udf((v: Seq[Float]) =>
-      if (v == null) null
-      else planes.indices.map { t =>
-        val hs = planes(t)
-        var b = 0L
-        var i = 0
-        while (i < hs.length) {
-          val h = hs(i)
-          var d = 0.0
-          var j = 0
-          val n = math.min(h.length, v.length)
-          while (j < n) { d += h(j).toDouble * v(j).toDouble; j += 1 }
-          if (d > 0) b |= 1L << i
-          i += 1
-        }
-        (t, b)
-      })
-    // Candidate generation stays NARROW — (id, bucket) rows only — so the
-    // bucket self-join and the multi-band dedup shuffle move ids, not
+    // Candidate generation stays NARROW — (id, band, bucket) rows only — so
+    // the bucket self-join and the multi-band dedup shuffle move ids, not
     // vectors. The vectors attach AFTER dedup via two equi-joins on id
     // (broadcast when the vector table is small; a plain hash join at
     // scale) — shuffling dim-sized payloads through the candidate join was
     // ~2x the bytes for zero information.
     val bucketed = df.select(col(idCol).as("id"),
-      explode(bandBuckets(col(vecCol))).as("bucket"))
+      posexplode(graft.functions.MatrixExpressions.bandBuckets(col(vecCol), planes))
+        .as(Seq("band", "bucket")))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
-    val cand = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       // a pair agreeing in several bands would verify (and emit) repeatedly
       .dropDuplicates("id_a", "id_b")
@@ -321,7 +309,6 @@ object Dedup {
       centroids: DataFrame, minCos: Double, maxCellSize: Int,
       nprobe: Int): DataFrame = { // no default: the Seq overload holds them
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
-    val spark = df.sparkSession
     val cents: Array[(Long, Array[Double])] = centroids
       .select(col("cell").cast("long"), col("centroid"))
       .collect()
@@ -330,38 +317,18 @@ object Dedup {
       .sortBy(_._1)
     require(cents.nonEmpty, "centroids table must be non-empty")
     val p = math.min(nprobe, cents.length)
-    val bc = spark.sparkContext.broadcast(cents)
     // top-p cells by (dot desc, table order asc) — p=1 reduces to the
-    // first-max argmax, bit-compatible with the Seq overload
-    val assign = udf((v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val cs = bc.value
-        val bestIdx = new Array[Int](p)
-        val bestDot = Array.fill(p)(Double.NegativeInfinity)
-        var c = 0
-        while (c < cs.length) {
-          val cent = cs(c)._2
-          var d = 0.0
-          var i = 0
-          val n = math.min(cent.length, v.length)
-          while (i < n) { d += cent(i) * v(i); i += 1 }
-          // insertion into the tiny top-p, stable (strict > keeps earlier
-          // table rows ahead on ties)
-          var slot = p
-          while (slot > 0 && d > bestDot(slot - 1)) slot -= 1
-          if (slot < p) {
-            var m = p - 1
-            while (m > slot) { bestDot(m) = bestDot(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1 }
-            bestDot(slot) = d
-            bestIdx(slot) = c
-          }
-          c += 1
-        }
-        bestIdx.take(math.min(p, cs.length)).map(cs(_)._1).toSeq
-      }: Seq[Long])
+    // first-max argmax, bit-compatible with the Seq overload. A NATIVE
+    // expression carrying the centroid matrix as one reference object: the
+    // round-6 compiled UDF already made the plan O(1) in k, but still boxed
+    // every vector into a Seq[Float] and cut whole-stage codegen at the
+    // assignment — the expression runs the argmax as a primitive loop
+    // inside the generated pipeline (same ordering/tie semantics, golds +
+    // oracle rows invariant).
+    val assigned = graft.functions.MatrixExpressions.topDotCells(col("v"),
+      cents.map(_._2), cents.map(_._1), p)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cells = vecs.select(col("id"), explode(assign(col("v"))).as("cell"))
+    val cells = vecs.select(col("id"), explode(assigned).as("cell"))
     semanticPairs(vecs, cells, minCos, maxCellSize, dedupe = p > 1)
   }
 
@@ -374,18 +341,33 @@ object Dedup {
     val cells =
       if (maxCellSize <= 0) cellsIn
       else {
-        // distributed, like lshCandidates' guard: hot-cell discovery is an
-        // aggregate + anti-join, never a driver collect of cell ids
-        val hot = cellsIn.groupBy("cell")
-          .agg(count(lit(1)).as("__csz")).filter(col("__csz") > maxCellSize)
-        val d = hot.agg(count(lit(1)), coalesce(sum("__csz"), lit(0L))).collect()(0)
-        if (d.getLong(0) > 0)
-          System.err.println(s"[graft.Dedup] semantic hot-cell cap $maxCellSize dropped " +
-            s"${d.getLong(0)} cells holding ${d.getLong(1)} vectors from candidate " +
-            "generation — their pairs are LOST (one cell per vector); re-run with " +
-            "more centroids (SemDeDup's k↑ answer) to rebalance")
-        if (d.getLong(0) == 0) cellsIn
-        else cellsIn.join(hot.select("cell"), Seq("cell"), "left_anti")
+        // LAZY hot-cell guard (advisor r6 — the prior form ran an eager
+        // .collect() at BUILD time, freezing the apply/skip decision into
+        // the plan and triggering jobs from a builder API): a window count
+        // over the cell partitioning sizes every cell in the SAME shuffle
+        // the within-cell self-join needs anyway (Window preserves its
+        // child's hash partitioning, so the join adds no exchange), the
+        // over-cap filter is a per-row predicate — a no-op when no cell is
+        // hot — and the drop count is OBSERVED at execution time
+        // (CollectMetrics + a once-per-session QueryExecutionListener that
+        // prints any non-zero drop), never a build-time driver action.
+        //
+        // Cap semantics (advisor r6, documented deliberately): the count is
+        // per-cell CANDIDATE-GENERATION OCCUPANCY — with nprobe > 1 a
+        // vector counts once per probed cell. That is the quantity the
+        // within-cell join is quadratic in (probe rows join like primary
+        // rows), so the guard bounds exactly the blowup it exists to
+        // prevent; it is NOT the true (rank-1) cell size once nprobe > 1.
+        registerCapListener(cellsIn.sparkSession)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+        cellsIn.withColumn("__csz", count(lit(1)).over(w))
+          .observe("graft.semantic.cellcap",
+            sum(when(col("__csz") > maxCellSize, 1L).otherwise(0L))
+              .as("memberships_dropped"),
+            coalesce(max(col("__csz")), lit(0L)).as("max_cell_occupancy"),
+            max(lit(maxCellSize.toLong)).as("cap"))
+          .filter(col("__csz") <= maxCellSize)
+          .select("id", "cell")
       }
     val a = cells.as("a")
     val b = cells.as("b")
@@ -400,6 +382,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Ann.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Total cell memberships the semantic hot-cell cap has dropped across
+    * executions in this JVM — observable evidence for tests (the guard
+    * itself reports per-execution via the listener below).
+    */
+  val semanticCapDropped: java.util.concurrent.atomic.AtomicLong =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val capListenerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+        java.lang.Boolean]())
+
+  /** Print [[semanticPairs]]' observed hot-cell drop metrics LOUDLY at
+    * execution time (once-per-session QueryExecutionListener over the
+    * `graft.semantic.cellcap` observation) — the cap decision itself lives
+    * in the lazy plan, so re-executions against changed inputs re-evaluate
+    * it and re-report (advisor r6).
+    */
+  private def registerCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.get("graft.semantic.cellcap").foreach { row =>
+            val dropped = row.getAs[Long]("memberships_dropped")
+            if (dropped > 0) {
+              semanticCapDropped.addAndGet(dropped)
+              System.err.println("[graft.Dedup] semantic hot-cell cap " +
+                s"${row.getAs[Long]("cap")} dropped $dropped cell memberships from " +
+                s"candidate generation (max cell occupancy " +
+                s"${row.getAs[Long]("max_cell_occupancy")}) — pairs inside dropped " +
+                "cells are LOST; re-run with more centroids (SemDeDup's k↑ answer) " +
+                "to rebalance, or raise nprobe to recover cross-cell recall")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+      })
+    }
 
   /** Exact n-gram Jaccard for candidate pairs: join shingle sets back and
     * compute |∩|/|∪| over distinct shingles.

@@ -518,6 +518,67 @@ class OpsSpec extends SparkTestBase {
     assert(viaSeq === viaTbl)
   }
 
+  test("native matrix expressions: signBucket/bandBuckets/topDotCells match scalar " +
+      "reimplementations, eval == codegen through a parquet scan, plan O(1) in H") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val H = 30
+    val planes = Array.fill(H)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val cents = Array.fill(12)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val ids = Array.tabulate(12)(i => (i + 1).toLong)
+    val rows = (0 until 64).map(i =>
+        (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))) :+
+      (99L, null.asInstanceOf[Seq[Float]])
+    val df = rows.toDF("id", "vec")
+    // scalar reference semantics: double fold in element order, strict > 0
+    def refDot(v: Seq[Float], h: Array[Float]): Double =
+      (0 until math.min(v.length, h.length)).foldLeft(0.0)((d, j) =>
+        d + h(j).toDouble * v(j).toDouble)
+    def refSign(v: Seq[Float]): Long =
+      planes.indices.foldLeft(0L)((b, i) => if (refDot(v, planes(i)) > 0) b | (1L << i) else b)
+    def refTop(v: Seq[Float], p: Int): Seq[Long] = {
+      val dots = cents.map(c => (0 until math.min(v.length, c.length))
+        .foldLeft(0.0)((d, j) => d + c(j) * v(j).toDouble))
+      dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }.take(p).map(x => ids(x._2)).toSeq
+    }
+    val bands = planes.grouped(10).toArray // 3 bands × 10 planes
+    def refBands(v: Seq[Float]): Seq[Long] = bands.toSeq.map(hs =>
+      hs.indices.foldLeft(0L)((b, i) => if (refDot(v, hs(i)) > 0) b | (1L << i) else b))
+    import graft.functions.MatrixExpressions
+    def run(src: org.apache.spark.sql.DataFrame) = src.select($"id",
+      MatrixExpressions.signBucket($"vec", planes).as("sb"),
+      MatrixExpressions.bandBuckets($"vec", bands).as("bb"),
+      MatrixExpressions.topDotCells($"vec", cents, ids, 3).as("tc"))
+    def grab(r: org.apache.spark.sql.DataFrame) = r.collect().map(x => x.getLong(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        if (x.isNullAt(2)) None else Some(x.getSeq[Long](2)),
+        if (x.isNullAt(3)) None else Some(x.getSeq[Long](3)))).toMap
+    val interp = grab(run(df)) // LocalTableScan → interpreted nullSafeEval
+    for ((id, v) <- rows; if v != null) {
+      assert(interp(id)._1 === Some(refSign(v)), s"signBucket id=$id")
+      assert(interp(id)._2 === Some(refBands(v)), s"bandBuckets id=$id")
+      assert(interp(id)._3 === Some(refTop(v, 3)), s"topDotCells id=$id")
+    }
+    assert(interp(99L) === ((None, None, None)), "null vector → null, never bucket 0")
+    // codegen path (parquet scan): identical to interpreted, inside a
+    // WholeStageCodegen span, with NO ScalaUDF and NO per-plane literal
+    // arrays at H=30 (the k-literal plan disease this kernel family cures)
+    val pq = java.nio.file.Files.createTempDirectory("graft-mexpr").toString
+    df.write.mode("overwrite").parquet(pq)
+    val viaCg = run(s2.read.parquet(pq))
+    val plan = viaCg.queryExecution.executedPlan.toString
+    assert(plan.contains("float_sign_bucket") && plan.contains("*(1) Project"),
+      plan.take(1200))
+    assert(!plan.contains("ScalaUDF"), plan.take(1200))
+    val creates = viaCg.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case c: org.apache.spark.sql.catalyst.expressions.CreateArray => c
+    }).size
+    assert(creates === 0, s"$creates literal arrays leaked into the plan at H=$H")
+    assert(grab(viaCg) === interp, "codegen vs interpreted")
+  }
+
   test("dedup: passage locate surface — duplicated windows at exact token offsets " +
       "(Lee et al. §3 excision input); xxh64 twin matches the md5 oracle form") {
     val s2 = spark
