@@ -140,12 +140,22 @@ object Ann {
     * centroid order, matching the Seq overload's `array_position` cells.
     * Same determinism contract as [[buildIvf]]: seeded from the k smallest
     * ids, exact distributed Lloyd aggregations, no RNG.
+    *
+    * `sampleFraction` < 1 fits the quantizer on a DETERMINISTIC id-hash
+    * sample (xxhash64(id) mod 10⁶ under the fraction — no RNG, stable
+    * across runs and partitionings): SemDeDup fits k-means on a sample and
+    * assigns the full corpus (Abbas et al. §2 — the Lloyd passes are the
+    * only full-corpus-×-iters scans in the pipeline, and a quantizer only
+    * needs the density shape, not every point). Seeds come from the k
+    * smallest SAMPLED ids, so the whole fit is a function of the sample.
+    * Assignment of the full corpus stays exact in [[Dedup.semanticDedup]] /
+    * [[buildIvf]] — only the FIT sees the sample.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, sampleFraction: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    kmeansArrays(df, idCol, vecCol, k, iters).zipWithIndex
+    kmeansArrays(df, idCol, vecCol, k, iters, sampleFraction).zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
   }
@@ -154,13 +164,19 @@ object Ann {
     * centroids after `iters` exact distributed iterations.
     */
   private def kmeansArrays(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1] (got $sampleFraction)")
     val spark = df.sparkSession
     import spark.implicits._
     // null vectors would NPE the Lloyd pass (only the final assign UDF
     // guards null); an all-null/empty input has no seedable centroid at all
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecsAll = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
+    val vecs =
+      if (sampleFraction >= 1.0) vecsAll
+      else vecsAll.filter(
+        pmod(xxhash64(col("id")), lit(1000000L)) < lit((sampleFraction * 1000000L).toLong))
     var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map(normalized)

@@ -602,13 +602,20 @@ object Dedup {
     * Overlapping duplicated windows emit one row each; collapsing them into
     * maximal ranges is a per-doc sort the caller does at excision time.
     *
-    * Shape: windows explode once per side of a self-equi-join through the
-    * cross-doc aggregate — the group (map-side partial agg) and the join are
-    * both equi-shuffles on `h`, never all-pairs. The hash pass runs twice
-    * (once per side); at corpus scale, materialize
-    * `df.select(id, posexplode(hasher(text, w)))` to parquet first and feed
-    * both stages from it — the signature-table pattern the minhash pipeline
-    * uses.
+    * Shape: the exploded window table is MATERIALIZED ONCE per invocation
+    * (eager localCheckpoint — the signature-table pattern the minhash
+    * pipeline uses) and BOTH stages read it: the cross-doc aggregate (an
+    * equi-shuffle on `h` with map-side partial agg) and the locate join
+    * back (another equi-shuffle on `h`) — never all-pairs, and the
+    * tokenize+hash scan, the corpus's most expensive pass, runs exactly
+    * once (round 6 ran it once per join side — at 100 TB that doubles the
+    * dominant cost; it was the committed bench's named p99).
+    *
+    * The checkpoint makes this builder EAGER (the window pass runs at call
+    * time) and its blocks stay pinned until the returned frame is GC'd —
+    * the same contract as [[connectedComponents]]' result. Callers running
+    * many invocations over one corpus should materialize the window table
+    * to parquet themselves and feed both [[passageDups]] and this.
     */
   def passageDupLocations(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, hasher: (Column, Int) => Column = passageHashes): DataFrame = {
@@ -616,6 +623,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         posexplode(hasher(col(textCol), window)).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+      .localCheckpoint(true) // ONE tokenize+hash pass feeds both stages below
     val dups = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -658,27 +666,42 @@ object Dedup {
       .localCheckpoint(true)
     var it = 0
     var converged = false
+    // convergence rides the round's ONE materialization as an accumulator
+    // (round 6 paid 3 eager localCheckpoints + a driver isEmpty action per
+    // round — 4 jobs; this is 1): the counting filter is always-true, marked
+    // nondeterministic so Catalyst neither elides nor re-orders it, and task
+    // RETRIES can only INFLATE a non-zero count — the zero/non-zero decision
+    // the loop reads is exact (a converged round has nothing to add twice).
+    val changed = sym.sparkSession.sparkContext.longAccumulator("graft.ccChanged")
+    val bump = udf((c: Long, p: Long) => { if (c < p) changed.add(1L); true })
+      .asNondeterministic()
     while (!converged && it < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("nbr"), col("component").as("ncomp")), Seq("nbr"))
         .groupBy("id").agg(min("ncomp").as("nmin"))
+      // NOT checkpointed: `stepped` is read twice inside one materialization
+      // (left side + jump table) and its expensive stage — the nbrMin
+      // aggregate exchange — is reused by Spark's ReuseExchange across the
+      // two subtrees; a checkpoint here bought one cheap recompute for a
+      // full extra write+read job per round
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint(true) // read once below (left side + jump table)
       // pointer jumping: label ← min(label, label(label)) — halves chain
       // depth each round, O(log diameter) total
       val jumpTbl = stepped.select(col("id").as("component"), col("component").as("jump"))
+      changed.reset()
       val next = stepped.join(jumpTbl, Seq("component"), "left")
         .select(col("id"), col("prev"),
           least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
-        .localCheckpoint(true) // cut the per-round lineage growth
-      converged = next.filter(col("component") < col("prev")).isEmpty
-      // `next` is materialized (eager checkpoint) + the convergence check ran:
-      // the previous round's blocks are dead — free them NOW, not at GC
+        .filter(bump(col("component"), col("prev")))
+        .select(col("id"), col("component"))
+        .localCheckpoint(true) // the round's one job; cuts lineage growth too
+      converged = changed.value == 0L
+      // `next` is materialized (eager checkpoint) so the previous round's
+      // blocks are dead — free them NOW, not at GC
       unpersistCheckpoint(labels)
-      unpersistCheckpoint(stepped)
-      labels = next.select("id", "component")
+      labels = next
       it += 1
     }
     lastCcRounds = it

@@ -518,6 +518,38 @@ class OpsSpec extends SparkTestBase {
     assert(viaSeq === viaTbl)
   }
 
+  test("ann: sampled k-means fit — deterministic id-hash sample, fit is a pure " +
+      "function of the sample, planted duplicates still verify end-to-end") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 12
+    val base = (0 until 240).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val planted = base.take(8).map { case (i, v) => (i + 5000L, v.map(_ * 2f)) }
+    val emb = (base ++ planted).toDF("id", "vec")
+    val fitA = graft.ops.Ann.kmeansCentroids(emb, "id", "vec", k = 16, iters = 3,
+      sampleFraction = 0.5)
+    val fitB = graft.ops.Ann.kmeansCentroids(emb, "id", "vec", k = 16, iters = 3,
+      sampleFraction = 0.5)
+    def mat(df: org.apache.spark.sql.DataFrame) = df.orderBy("cell").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    // no RNG anywhere: two sampled fits are bit-identical
+    assert(mat(fitA) === mat(fitB))
+    assert(fitA.count() === 16)
+    // the sample genuinely subsets the fit: a different fraction moves at
+    // least one centroid (the full fit sees points the sample lacks)
+    val full = graft.ops.Ann.kmeansCentroids(emb, "id", "vec", k = 16, iters = 3)
+    assert(mat(fitA) !== mat(full), "0.5 sample fit should differ from the full fit")
+    // end-to-end: assignment of the FULL corpus against sample-fit centroids
+    // still verifies every planted pair (×2 duplicates share a cell under
+    // ANY centroid set — and the verify is exact)
+    val pairs = graft.ops.Dedup.semanticDedup(emb, "id", "vec", fitA, 0.999, 0, 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(base.take(8).map { case (i, _) => (i, i + 5000L) }.toSet.subsetOf(pairs),
+      s"planted pairs missing from $pairs")
+  }
+
   test("native matrix expressions: signBucket/bandBuckets/topDotCells match scalar " +
       "reimplementations, eval == codegen through a parquet scan, plan O(1) in H") {
     val s2 = spark
@@ -639,5 +671,34 @@ class OpsSpec extends SparkTestBase {
     val finalPlan = plan.split("== Initial Plan ==")(0)
     val exchanges = "Exchange".r.findAllIn(finalPlan).length
     assert(exchanges <= 2, s"$exchanges exchanges in:\n${finalPlan.take(1500)}")
+  }
+
+  test("plan guard: passageDupLocations runs the tokenize+hash pass ONCE — " +
+      "both stages read the materialized window table") {
+    val s2 = spark
+    import s2.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"head $shared tail"),
+      (2L, s"other prefix words $shared trailing stuff here"),
+      (3L, "entirely different content with no repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val locs = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", window = 8)
+    // the consumer plan must contain NO Generate (posexplode) and NO UDF:
+    // the window pass pre-executed into the checkpointed table, so seeing
+    // either means the corpus's most expensive scan re-entered the plan —
+    // and would run once per join side again (the round-6 double pass)
+    val plan = locs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan.take(1500))
+    assert(!plan.contains("UDF") && !plan.contains("ScalaUDF"), plan.take(1500))
+    // both stages read the one RDD scan; the join stays equi-shaped
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // semantics unchanged: every occurrence of the cross-doc window located
+    // the 10-token shared run holds three 8-token windows; it starts at
+    // token 2 of doc 1 and token 4 of doc 2 (1-based)
+    val got = locs.select("doc_id", "start").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (2L, 5L), (2L, 6L)),
+      s"got $got")
   }
 }
