@@ -519,6 +519,33 @@ object SparkEntry {
       graft.ops.Ann.topkLsh(emb, "vec_id", "embedding", vecs(0L),
           Seq(vecs(1L), vecs(2L), vecs(3L)), 10)
         .select(col("vec_id"), qz(col("cos")).as("cos_q"))
+    }),
+    // more-like-this TERM SELECTION (indexers.py:299-311): doc 42's terms
+    // ranked by classic MLT tf·ln(docCount/df). maxQueryTerms = 25 exceeds
+    // the qualifying-term count at both gate scales (11 / 23), so the row
+    // set is cutoff-free and the tf·idf VALUES are what the oracle pins.
+    "q_mlt" -> ((sp, dir) => {
+      import sp.implicits._
+      searcher(sp, dir)
+        .morelikethisTerms(42L, "content", minTermFreq = 2, minDocFreq = 5,
+          maxQueryTerms = 25)
+        .toDF("term", "score")
+        .select(col("term"), qz(col("score")).as("score_q"))
+    }),
+    // SpellParser rewrite (queries.py:285-312): unknown terms rewrite to
+    // their top suggestion — (sim desc, docFreq desc, term asc) over
+    // damerau ≤ 2 with the first-letter constraint — known terms pass
+    // through ('spark' stays; 'joon'→'join', 'dataa'→'data')
+    "q_spell_rewrite" -> ((sp, dir) => {
+      import sp.implicits._
+      val q = searcher(sp, dir).parse("joon dataa spark", "content", op = "or",
+        spellcheck = true)
+      val terms = q match {
+        case Bool(cs)   => cs.map(_._2).collect { case Term(_, t) => t }
+        case Term(_, t) => Seq(t)
+        case _          => Seq.empty[String]
+      }
+      terms.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }.toDF("pos", "term")
     })
   )
 
@@ -646,6 +673,37 @@ object SparkEntry {
          |)
          |SELECT term, docfreq, dist, CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS sim_q
          |FROM cand ORDER BY sim DESC, docfreq DESC, term ASC LIMIT 10""".stripMargin,
+    "q_mlt" -> // classic MLT tf·idf selection; docCount = docs with ≥1 token = stats.n
+      s"""$prelude, dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |mlt AS (
+         |  SELECT t.term, t.tf * ln((SELECT n FROM stats)::DOUBLE / d.df) AS score
+         |  FROM tf t JOIN dfreq d USING (term)
+         |  WHERE t.docid = 42 AND t.tf >= 2 AND d.df >= 5
+         |  ORDER BY score DESC, t.term ASC LIMIT 25
+         |)
+         |SELECT term, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q FROM mlt"""
+        .stripMargin,
+    "q_spell_rewrite" -> // respell: known terms pass through, unknown take the
+      // q_suggest top-1 ((sim desc, docFreq desc, term asc), damerau ≤ 2,
+      // same first letter), falling back to the original when no candidate
+      s"""$prelude, qtoks(pos, w) AS (
+         |  SELECT * FROM (VALUES (1, 'joon'), (2, 'dataa'), (3, 'spark')) v(pos, w)
+         |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sugg AS (
+         |  SELECT q.pos, q.w,
+         |    (SELECT c.term FROM dfreq c
+         |      WHERE c.term <> q.w AND substring(c.term, 1, 1) = substring(q.w, 1, 1)
+         |        AND damerau_levenshtein(c.term, q.w) <= 2
+         |      ORDER BY 1.0 - damerau_levenshtein(c.term, q.w)::DOUBLE
+         |          / least(length(c.term), length(q.w))::DOUBLE DESC,
+         |        c.df DESC, c.term ASC
+         |      LIMIT 1) AS best
+         |  FROM qtoks q
+         |)
+         |SELECT CAST(pos AS BIGINT) AS pos,
+         |  CASE WHEN EXISTS(SELECT 1 FROM dfreq d WHERE d.term = s.w) THEN s.w
+         |       ELSE coalesce(s.best, s.w) END AS term
+         |FROM sugg s""".stripMargin,
     "q_doclengths" ->
       s"""$prelude SELECT docid, dlq FROM dlq""",
     "q_dedup_exact" ->

@@ -1389,19 +1389,40 @@ class Searcher(val index: Index) extends Serializable {
     */
   def morelikethisText(text: String, field: String, minTermFreq: Int = 2, minDocFreq: Int = 5,
       maxQueryTerms: Int = 25): Query = {
-    if (text == null || !index.fieldStats.contains(field)) return NoDocs
+    val scored = morelikethisTermsText(text, field, minTermFreq, minDocFreq, maxQueryTerms)
+    if (scored.isEmpty) NoDocs else Query.any(scored.map(ts => Term(field, ts._1)): _*)
+  }
+
+  /** The scored tf·idf term selection behind [[morelikethis]] — exposed so
+    * the selection itself (the reference's `interestingTerms` surface) is
+    * directly checkable: (term, tf·ln(docCount/df)) ordered by (score desc,
+    * term asc), capped at `maxQueryTerms`.
+    */
+  def morelikethisTerms(docId: Long, field: String, minTermFreq: Int = 2, minDocFreq: Int = 5,
+      maxQueryTerms: Int = 25): Seq[(String, Double)] = {
+    if (!index.fieldStats.contains(field)) return Seq.empty
+    val row = index.docs.filter(col("docId") === docId)
+      .select(graft.index.Cols.qcol(field)).collect()
+    if (row.isEmpty || row(0).isNullAt(0)) Seq.empty
+    else morelikethisTermsText(row(0).getString(0), field, minTermFreq, minDocFreq,
+      maxQueryTerms)
+  }
+
+  /** Raw-text twin of [[morelikethisTerms]]. */
+  def morelikethisTermsText(text: String, field: String, minTermFreq: Int = 2,
+      minDocFreq: Int = 5, maxQueryTerms: Int = 25): Seq[(String, Double)] = {
+    if (text == null || !index.fieldStats.contains(field)) return Seq.empty
     val analyzer = index.schema.analyzerFor(field)
     val tf = analyzer.terms(text).groupBy(identity).view.mapValues(_.size)
       .filter(_._2 >= minTermFreq).toMap
-    if (tf.isEmpty) return NoDocs
+    if (tf.isEmpty) return Seq.empty
     val stats = termStats(field, tf.keys.toSeq)
     val n = index.fieldStats(field).docCount // guarded above
-    val scored = tf.toSeq.flatMap { case (t, f) =>
+    tf.toSeq.flatMap { case (t, f) =>
       stats.get(t).filter(_._1 >= minDocFreq).map { case (df, _) =>
         (t, f * math.log(n.toDouble / df)) // classic MLT tf·idf ranking
       }
     }.sortBy { case (t, s) => (-s, t) }.take(maxQueryTerms)
-    if (scored.isEmpty) NoDocs else Query.any(scored.map(ts => Term(field, ts._1)): _*)
   }
 
   /** Total hit count with its exact-vs-estimate relation (Lucene TotalHits;
