@@ -763,31 +763,43 @@ class Searcher(val index: Index) extends Serializable {
     }
   }
 
-  /** Match a query shape WAND can serve: SHOULD-only boolean over Terms of
-    * one field (with optional boosts), a bare (possibly boosted) Term — the
-    * single-cursor case is Lucene's single-term impacts/BMW: non-competitive
-    * blocks of a hot term skip undecoded via (maxTf, minDlq) bounds — or a
-    * boosted such query.
+  /** Match a query shape WAND can serve — returns (field, weighted terms,
+    * tie): SHOULD-only boolean over Terms of one field (with optional
+    * boosts) or a bare (possibly boosted) Term, both with tie = 1.0 (the
+    * plain score sum); or a DisjunctionMax over such terms with its
+    * tieBreaker as the combiner — DisMax's max + tie·(sum − max) has the
+    * same max/sum monotonicity BMW's bound algebra needs, so the one
+    * evaluator serves both (Lucene likewise gives DisjunctionMaxQuery a
+    * WAND-capable DisjunctionMaxScorer). The single-cursor case is Lucene's
+    * single-term impacts/BMW: non-competitive blocks of a hot term skip
+    * undecoded via (maxTf, minDlq) bounds.
     */
-  private def wandable(q: Query, boost: Double = 1.0): Option[(String, Seq[(String, Double)])] =
+  private def wandable(q: Query,
+      boost: Double = 1.0): Option[(String, Seq[(String, Double)], Double)] =
     q match {
-      case Term(f, t) => Some((f, Seq((t, boost))))
+      case Term(f, t) => Some((f, Seq((t, boost)), 1.0))
       case Bool(clauses) if clauses.nonEmpty && clauses.forall(_._1 == Occur.Should) =>
-        val terms = clauses.map {
-          case (_, Term(f, t))           => Some((f, t, boost))
-          case (_, Boost(Term(f, t), b)) => Some((f, t, boost * b))
-          case _                         => None
-        }
-        if (terms.exists(_.isEmpty)) None
-        else {
-          val ts = terms.flatten
-          if (ts.map(_._1).distinct.length == 1)
-            Some((ts.head._1, ts.map(x => (x._2, x._3))))
-          else None
-        }
+        sameFieldTerms(clauses.map(_._2), boost).map { case (f, ts) => (f, ts, 1.0) }
+      case DisMax(tie, ds) if ds.nonEmpty && tie >= 0.0 && tie <= 1.0 =>
+        sameFieldTerms(ds, boost).map { case (f, ts) => (f, ts, tie) }
       case Boost(sub, b) => wandable(sub, boost * b)
       case _             => None
     }
+
+  private def sameFieldTerms(qs: Seq[Query],
+      boost: Double): Option[(String, Seq[(String, Double)])] = {
+    val terms = qs.map {
+      case Term(f, t)           => Some((f, t, boost))
+      case Boost(Term(f, t), b) => Some((f, t, boost * b))
+      case _                    => None
+    }
+    if (terms.exists(_.isEmpty)) None
+    else {
+      val ts = terms.flatten
+      if (ts.map(_._1).distinct.length == 1) Some((ts.head._1, ts.map(x => (x._2, x._3))))
+      else None
+    }
+  }
 
   /** Block-max WAND top-k over a weighted term disjunction: blocks of the
     * query terms are co-partitioned by docId salt bucket (blocks never span
@@ -795,11 +807,12 @@ class Searcher(val index: Index) extends Serializable {
     * and a global TakeOrdered merges — one narrow shuffle of blocks, no
     * groupBy, non-competitive blocks never decoded.
     */
-  def searchWand(field: String, weightedTerms: Seq[(String, Double)], k: Int): DataFrame = {
+  def searchWand(field: String, weightedTerms: Seq[(String, Double)], k: Int,
+      tie: Double = 1.0): DataFrame = {
     bm25Weights(field, weightedTerms) match {
       case None => emptyMatches
       case Some((weights, avgdl)) =>
-        wandPartitions(field, weights, avgdl, k)
+        wandPartitions(field, weights, avgdl, k, tie)
           .flatMap { case (ids, scores, _, _) => ids.zip(scores) }
           .toDF("docId", "score")
           .orderBy(col("score").desc, col("docId").asc)
@@ -825,9 +838,11 @@ class Searcher(val index: Index) extends Serializable {
     * the tops; [[searchHits]] also folds the count accounting.
     */
   private def wandPartitions(field: String, weights: Seq[(String, Double)], avgdl: Double,
-      k: Int): org.apache.spark.sql.Dataset[(Array[Long], Array[Double], Long, Boolean)] = {
+      k: Int, tie: Double = 1.0):
+      org.apache.spark.sql.Dataset[(Array[Long], Array[Double], Long, Boolean)] = {
     val kk = k
     val wts = weights
+    val tieBreak = tie
     val acc = wandDecoded // local val: the closure must not capture `this`
     val tomb = wandTombstones.orNull // Broadcast is serializable; `this` is not shipped
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -872,7 +887,7 @@ class Searcher(val index: Index) extends Serializable {
           }
         val byTerm = blocks.groupBy(_.term)
         val termBlocks = wts.map { case (t, w) => (w, byTerm.getOrElse(t, Array.empty)) }
-        val r = Wand.topkPartitionFull(termBlocks, avgdl, kk, deleted)
+        val r = Wand.topkPartitionFull(termBlocks, avgdl, kk, deleted, tieBreak)
         acc.add(r.decodedBlocks)
         Iterator.single((r.top.map(_._1), r.top.map(_._2), r.scoredDocs, r.pruned))
       }
@@ -888,11 +903,11 @@ class Searcher(val index: Index) extends Serializable {
     */
   def searchHits(q: Query, k: Int = 10): SearchHits = {
     if (wandEnabled && k > 0) {
-      wandable(q).foreach { case (f, wts0) =>
+      wandable(q).foreach { case (f, wts0, tie) =>
         if (wts0.nonEmpty) {
           val (weights, avgdl) = bm25Weights(f, wts0)
             .getOrElse(return SearchHits(emptyMatches, TotalHits(0, exact = true)))
-          val per = wandPartitions(f, weights, avgdl, k).collect()
+          val per = wandPartitions(f, weights, avgdl, k, tie).collect()
           val merged = per.flatMap { case (ids, scores, _, _) => ids.zip(scores) }
             .sortBy { case (id, s) => (-s, id) }.take(k).toSeq
           val scored = per.map(_._3).sum
@@ -918,8 +933,8 @@ class Searcher(val index: Index) extends Serializable {
   def search(q: Query, k: Int = 10, sorts: Seq[SortSpec] = Nil,
       select: Seq[String] = Nil): DataFrame = {
     if (wandEnabled && k > 0 && sorts.isEmpty && select.isEmpty) {
-      wandable(q).foreach { case (f, wts) =>
-        if (wts.nonEmpty) return searchWand(f, wts, k)
+      wandable(q).foreach { case (f, wts, tie) =>
+        if (wts.nonEmpty) return searchWand(f, wts, k, tie)
       }
     }
     val m = eval(q)

@@ -122,10 +122,18 @@ object Wand {
     *        pruning remains exact.
     */
   def topkPartitionFull(termBlocks: Seq[(Double, Array[PostingBlock])], avgdl: Double,
-      k: Int, deleted: Long => Boolean = _ => false): PartitionResult = {
+      k: Int, deleted: Long => Boolean = _ => false, tie: Double = 1.0): PartitionResult = {
     // k == 0 would make the heap "full" while empty and theta undefined;
     // all-hits queries take the exhaustive path (Searcher.search k <= 0)
     require(k > 0, s"WAND needs k > 0 (got $k) — use exhaustive scoring for all-hits")
+    // tie < 1 is DisjunctionMax: doc score = max + tie·(sum − max) — the
+    // same max/sum monotonicity BMW's sum bound relies on, so every bound
+    // below combines as max(ubs) + tie·(Σubs − max(ubs)) ≥ any achievable
+    // score of a doc matching a subset of those terms. tie = 1.0 keeps the
+    // SHOULD-sum path BIT-identical (combine returns the raw sum untouched).
+    require(tie >= 0.0 && tie <= 1.0, s"tie must be in [0, 1] (got $tie)")
+    @inline def combine(mx: Double, sm: Double): Double =
+      if (tie == 1.0) sm else mx + tie * (sm - mx)
     val cursors = termBlocks.filter(_._2.nonEmpty)
       .map { case (w, bs) => new Cursor(w, avgdl, bs) }.toArray
     if (cursors.isEmpty) return PartitionResult(Array.empty, 0L, 0L, pruned = false)
@@ -141,11 +149,13 @@ object Wand {
     while (live.nonEmpty) {
       // pivot by global term bounds (safe)
       var ubSum = 0.0
+      var ubMax = Double.NegativeInfinity
       var pivotIdx = -1
       var i = 0
       while (i < live.length && pivotIdx < 0) {
         ubSum += live(i).termUb
-        if (ubSum > theta) pivotIdx = i
+        if (live(i).termUb > ubMax) ubMax = live(i).termUb
+        if (combine(ubMax, ubSum) > theta) pivotIdx = i
         i += 1
       }
       if (pivotIdx < 0) // remaining (live) docs are provably non-competitive
@@ -158,15 +168,17 @@ object Wand {
 
       // block-max refinement: bound the pivot doc by its ACTUAL blocks
       var blockSum = 0.0
+      var blockMax = Double.NegativeInfinity
       var minBoundary = Long.MaxValue
       var j = 0
       while (j <= endIdx) {
         val (ub, boundary) = live(j).shallowBound(pivotDoc)
         blockSum += ub
+        if (ub > blockMax) blockMax = ub
         if (boundary < minBoundary) minBoundary = boundary
         j += 1
       }
-      if (full && blockSum <= theta) {
+      if (full && combine(blockMax, blockSum) <= theta) {
         // no doc in [pivotDoc, min(minBoundary, nextCursor-1)] can win:
         // cursors beyond endIdx only contribute from their curDoc onward
         val nextDoc = if (endIdx + 1 < live.length) live(endIdx + 1).curDoc else Long.MaxValue
@@ -180,10 +192,17 @@ object Wand {
           // view, so neither `scoredDocs` nor `pruned` moves
           live.foreach { c => if (c.curDoc == pivotDoc) c.next() }
         } else {
-          var score = 0.0
+          var sumS = 0.0
+          var maxS = Double.NegativeInfinity
           live.foreach { c =>
-            if (c.curDoc == pivotDoc) { score += c.currentScore; c.next() }
+            if (c.curDoc == pivotDoc) {
+              val s = c.currentScore
+              sumS += s
+              if (s > maxS) maxS = s
+              c.next()
+            }
           }
+          val score = combine(maxS, sumS)
           scoredDocs += 1
           if (!full) heap.enqueue((score, pivotDoc))
           else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, pivotDoc)) }

@@ -149,6 +149,44 @@ class WandSpec extends SparkTestBase {
     assert(gotAnd === common)
   }
 
+  test("DisMax routes through WAND (max + tie·(sum−max) combiner) and stays exact; " +
+      "sparse DisMax prunes blocks undecoded") {
+    def ranked(q: Q, k: Int, wand: Boolean): Seq[(Long, Long)] = {
+      val prev = searcher.wandEnabled
+      searcher.wandEnabled = wand
+      try searcher.search(q, k).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      finally searcher.wandEnabled = prev
+    }
+    for (terms <- queries; tie <- Seq(0.0, 0.3, 1.0); k <- Seq(1, 10, 100)) {
+      val q = DisMax(tie, terms.map(Term("content", _)))
+      assert(ranked(q, k, wand = true) === ranked(q, k, wand = false),
+        s"terms=$terms tie=$tie k=$k")
+    }
+    // boosts flow into the DisMax weights (inner per-disjunct and outer)
+    val qb = Boost(DisMax(0.4, Seq(Term("content", "def").boost(2.0),
+      Term("content", "parse"))), 1.5)
+    assert(ranked(qb, 10, wand = true) === ranked(qb, 10, wand = false))
+    // pruning evidence: rare + hot DisMax at k=1 — docs lacking the rare
+    // term can't compete (tie discounts the hot sum), so hot blocks skip
+    // undecoded, and the pruned result still matches exhaustive
+    val st = index.fieldStats("content")
+    val rare = index.termDict.filter(col("field") === "content" &&
+        col("term").startsWith("scan") && col("term") =!= "scan")
+      .orderBy(col("docFreq").asc).limit(1).collect()(0).getString(1)
+    val sparse = Seq(rare, "def", "class", "import", "return")
+    val stats = searcher.termStats("content", sparse)
+    val termBlocks = sparse.map { t =>
+      val w = graft.exec.Bm25.idf(st.docCount, stats(t)._1)
+      (w, index.blocks.filter(col("term") === t).collect())
+    }
+    val totalBlocks = termBlocks.map(_._2.length).sum
+    val r = Wand.topkPartitionFull(termBlocks, st.avgdl, 1, _ => false, tie = 0.3)
+    assert(r.decodedBlocks < totalBlocks, s"decoded ${r.decodedBlocks} of $totalBlocks")
+    val exhTop = ranked(DisMax(0.3, sparse.map(Term("content", _))), 1, wand = false)
+    assert(r.top.map(_._1).toSeq === exhTop.map(_._1))
+  }
+
   test("WAND prunes: decodes fewer blocks than exist for small k") {
     // rare + hot mix: docs lacking the high-idf rare term can't compete, so
     // hot-term blocks between rare-term docs are skipped undecoded.
