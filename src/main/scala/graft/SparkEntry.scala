@@ -546,6 +546,24 @@ object SparkEntry {
         case _          => Seq.empty[String]
       }
       terms.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }.toDF("pos", "term")
+    }),
+    // Product-quantization ADC ranking (Jégou et al., TPAMI 2011) with
+    // oracle-checkable FIXED codebooks: subspace codebooks are the m=4
+    // (dsub=16) slices of embeddings 1..4 (ksub=4 — the q_ann_lsh
+    // known-rows trick), query = embedding 0. This pins the ENCODE (argmin
+    // L2 per subspace, first-min ties) and ADC (Σ LUT reads in subspace
+    // order) kernels bit-for-bit; the k-means codebook FIT is gold-tested
+    // in OpsSpec (a fit is not SQL-expressible).
+    "q_pq_adc" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val vecs = emb.filter(col("vec_id").isin(0, 1, 2, 3, 4)).select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val cbs = graft.ops.Ann.pqCodebooksFromVectors(
+        Seq(vecs(1L), vecs(2L), vecs(3L), vecs(4L)), m = 4)
+      val codes = emb.select(col("vec_id"),
+        graft.ops.Ann.encodePq(col("embedding"), cbs).as("codes"))
+      graft.ops.Ann.topkPqAdc(codes, "vec_id", "codes", vecs(0L), cbs, 10)
+        .select(col("vec_id"), qz(col("adc")).as("adc_q"))
     })
   )
 
@@ -986,6 +1004,38 @@ object SparkEntry {
          |)
          |SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_q
          |FROM bux WHERE bucket = qbucket ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    "q_pq_adc" -> {
+      // PQ with fixed codebooks from embeddings 1..4: code of (vector, sub)
+      // = argmin L2 over the 4 candidate subvectors (ties → lowest code =
+      // the Spark kernel's first-min), ADC = Σ_sub dot(q_sub, chosen
+      // centroid_sub) summed in subspace order (list ORDER BY sub — double
+      // addition is order-sensitive and the Spark kernel folds s ascending)
+      val sq = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      val dot = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings WHERE vec_id IN (1,2,3,4)),
+         |subs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(sub)),
+         |enc AS (
+         |  SELECT e.vec_id, s.sub,
+         |    (SELECT c.code FROM cb c
+         |     ORDER BY ${sq("list_slice(e.embedding, s.sub*16+1, s.sub*16+16)",
+                            "list_slice(c.ce, s.sub*16+1, s.sub*16+16)")} ASC, c.code ASC
+         |     LIMIT 1) AS code
+         |  FROM embeddings e CROSS JOIN subs s
+         |), parts AS (
+         |  SELECT enc.vec_id, enc.sub,
+         |    ${dot("list_slice(q.qe, enc.sub*16+1, enc.sub*16+16)",
+                    "list_slice(c.ce, enc.sub*16+1, enc.sub*16+16)")} AS part
+         |  FROM enc JOIN cb c ON c.code = enc.code CROSS JOIN q
+         |), agg AS (
+         |  SELECT vec_id, list_sum(list(part ORDER BY sub)) AS adc FROM parts GROUP BY 1
+         |)
+         |SELECT vec_id, CAST(floor(adc * 10000 + 0.5) AS BIGINT) AS adc_q
+         |FROM agg ORDER BY adc DESC, vec_id ASC LIMIT 10""".stripMargin
     }
   )
 

@@ -233,6 +233,217 @@ object Ann {
       .limit(topk)
   }
 
+  // --- Product quantization (Jégou, Douze, Schmid, TPAMI 2011) -----------
+
+  /** Fit PQ codebooks: split the vector's `dim` floats into `m` contiguous
+    * subspaces of dim/m each and run an exact distributed L2 Lloyd loop in
+    * EVERY subspace — all `m` fits share ONE `treeAggregate` per iteration
+    * (one corpus scan per iteration TOTAL, not per subspace; the assignment
+    * work per row is the same either way, the scan cost is not).
+    *
+    * Deterministic, same contract as [[kmeansCentroids]]: seeds are the
+    * `ksub` smallest (sampled) ids' subvectors, no RNG anywhere;
+    * `sampleFraction` < 1 fits on the deterministic id-hash sample
+    * (fit-on-sample, encode-everything — a quantizer needs the density
+    * shape, not every point). L2 means, NOT normalized (subvectors are not
+    * unit vectors — plain PQ geometry, unlike the spherical coarse
+    * quantizer). Empty cells keep their centroid. Returns
+    * codebooks(sub)(code)(j) — metadata-scale (m·ksub·dsub doubles, e.g.
+    * 8·256·8 = 16K doubles at dim 64 / m 8).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
+      iters: Int, sampleFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"m must be >= 1 (got $m)")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256] — one byte per code (got $ksub)")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1] (got $sampleFraction)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecsAll = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val vecs =
+      if (sampleFraction >= 1.0) vecsAll
+      else vecsAll.filter(
+        pmod(xxhash64(col("id")), lit(1000000L)) < lit((sampleFraction * 1000000L).toLong))
+    val seeds = vecs.orderBy("id").limit(ksub)
+      .select("v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty,
+      s"PQ fit needs at least one non-null $vecCol vector to seed codebooks")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val kEff = seeds.length // a tiny corpus seeds fewer than ksub centroids
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m, kEff) { (s, c) =>
+      java.util.Arrays.copyOfRange(seeds(c), s * dsub, (s + 1) * dsub)
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(codebooks)
+      val (sums, counts) = vecs.select(col("v")).as[Seq[Float]].rdd
+        .treeAggregate((Array.fill(m, kEff)(new Array[Double](dsub)),
+          Array.fill(m)(new Array[Long](kEff))))(
+          seqOp = { case ((sm, n), v) =>
+            val cbs = bc.value
+            var s = 0
+            while (s < m) {
+              val off = s * dsub
+              val cb = cbs(s)
+              var best = 0
+              var bestD = Double.PositiveInfinity
+              var c = 0
+              while (c < cb.length) {
+                val cent = cb(c)
+                var d = 0.0
+                var j = 0
+                while (j < dsub) {
+                  val x = if (off + j < v.length) v(off + j).toDouble else 0.0
+                  val diff = x - cent(j)
+                  d += diff * diff
+                  j += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              var j = 0
+              while (j < dsub) {
+                sm(s)(best)(j) += (if (off + j < v.length) v(off + j).toDouble else 0.0)
+                j += 1
+              }
+              n(s)(best) += 1
+              s += 1
+            }
+            (sm, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var s = 0
+            while (s < m) {
+              var c = 0
+              while (c < kEff) {
+                var j = 0
+                while (j < dsub) { s1(s)(c)(j) += s2(s)(c)(j); j += 1 }
+                n1(s)(c) += n2(s)(c)
+                c += 1
+              }
+              s += 1
+            }
+            (s1, n1)
+          })
+      codebooks = Array.tabulate(m, kEff) { (s, c) =>
+        if (counts(s)(c) == 0) codebooks(s)(c)
+        else sums(s)(c).map(_ / counts(s)(c))
+      }
+    }
+    codebooks
+  }
+
+  /** Fixed codebooks from explicit sample vectors — codebook (s)(c) is the
+    * subspace-s slice of `vectors(c)`. The oracle-checkable construction
+    * (the k-means fit is not SQL-expressible; taking codebook entries from
+    * known table rows is — the same trick as q_ann_lsh's hyperplanes), and
+    * a cheap bootstrap quantizer when a fit is not worth running.
+    */
+  def pqCodebooksFromVectors(vectors: Seq[Seq[Float]], m: Int): Array[Array[Array[Double]]] = {
+    require(vectors.nonEmpty && vectors.length <= 256, "need 1..256 codebook vectors")
+    val dim = vectors.head.length
+    require(vectors.forall(_.length == dim), "codebook vectors must share one dim")
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m, vectors.length) { (s, c) =>
+      Array.tabulate(dsub)(j => vectors(c)(s * dsub + j).toDouble)
+    }
+  }
+
+  /** Encode vectors to m-byte PQ codes — a native codegen'd expression
+    * ([[graft.functions.PqExpressions]]); code byte s = index of the
+    * L2-nearest centroid in codebooks(s) (first-min on ties).
+    */
+  def encodePq(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqExpressions.encode(vec, codebooks)
+
+  /** Query→codebook ADC lookup table: lut(s)(c) = query_sub_s · codebooks
+    * (s)(c), double fold in element order, query zero-padded past its
+    * length. Driver-side — m·ksub doubles, metadata-scale.
+    */
+  def adcLut(query: Seq[Float], codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    var off = 0
+    codebooks.map { cb =>
+      val dsub = cb(0).length
+      val row = cb.map { cent =>
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = if (off + j < query.length) query(off + j).toDouble else 0.0
+          d += x * cent(j)
+          j += 1
+        }
+        d
+      }
+      off += dsub
+      row
+    }
+  }
+
+  /** Approximate inner-product top-k over PQ CODES via ADC: score =
+    * Σ_s lut(s)(code_s) = query · (reconstructed vector) — m table reads +
+    * adds per row over an m-byte column instead of dim multiplies over a
+    * 4·dim-byte one. Ties break on id ascending (quantized vectors collide
+    * into identical codes by design — the deterministic order matters).
+    */
+  def topkPqAdc(df: DataFrame, idCol: String, codesCol: String, query: Seq[Float],
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame =
+    df.select(col(idCol),
+        graft.functions.PqExpressions.adcDot(col(codesCol), adcLut(query, codebooks)).as("adc"))
+      .orderBy(col("adc").desc, col(idCol).asc)
+      .limit(k)
+
+  /** The two-stage PQ serving shape: ADC shortlist over codes (cheap,
+    * approximate), exact cosine re-rank over ONLY the shortlist's full
+    * vectors (the shortlist is k-scale — the broadcast join touches a
+    * vanishing fraction of the raw vector table). `shortlist` ≥ k trades
+    * scan cost for recall (Jégou et al. §V re-rank with R > k).
+    */
+  def topkPqRerank(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+      codebooks: Array[Array[Array[Double]]], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val codes = df.select(col(idCol).as("id"), encodePq(col(vecCol), codebooks).as("codes"))
+    val short = topkPqAdc(codes, "id", "codes", query, codebooks, shortlist).select("id")
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(short), "id")
+      .select(col("id").as(idCol), cosine(col("v"), array(query.map(lit(_)): _*)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Materialize the PQ index layout: `codes` parquet ((id, m bytes) —
+    * dim·4/m× smaller than the raw vector table; THE scan at query time)
+    * plus `codebooks` parquet (m·ksub rows, read once per query session).
+    * The raw vectors stay wherever they live — re-rank joins them by id.
+    */
+  def buildPqIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      m: Int, ksub: Int, iters: Int, sampleFraction: Double = 1.0): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cbs = pqCodebooks(df, idCol, vecCol, m, ksub, iters, sampleFraction)
+    df.select(col(idCol), encodePq(col(vecCol), cbs).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** ADC top-k against a [[buildPqIndex]] layout. */
+  def topkPqIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select("sub", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val cbs = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    topkPqAdc(spark.read.parquet(s"$dir/codes"), idCol, "codes", query, cbs, k)
+  }
+
   private def normalized(v: Array[Double]): Array[Double] = {
     var n = 0.0
     var i = 0

@@ -701,4 +701,144 @@ class OpsSpec extends SparkTestBase {
     assert(got === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (2L, 5L), (2L, 6L)),
       s"got $got")
   }
+
+  test("pq: encode/adc native expressions match scalar reimplementations, " +
+      "eval == codegen through a parquet scan, null-safe, plan UDF-free") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val m = 4
+    val dsub = dim / m
+    val cbs = Array.fill(m, 5)(Array.fill(dsub)(rnd.nextDouble() * 2 - 1))
+    val rows = (0 until 50).map(i =>
+        (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))) ++
+      Seq((98L, Seq.fill(dim - 3)((rnd.nextDouble() * 2 - 1).toFloat)), // short → zero-pad
+        (99L, null.asInstanceOf[Seq[Float]]))
+    val df = rows.toDF("id", "vec")
+    val q = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val lut = graft.ops.Ann.adcLut(q, cbs)
+    // scalar reference: argmin L2 per subspace (first-min), Σ lut in s order
+    def refEncode(v: Seq[Float]): Seq[Byte] = (0 until m).map { s =>
+      val ds = (0 until 5).map { c =>
+        (0 until dsub).foldLeft(0.0) { (d, j) =>
+          val x = if (s * dsub + j < v.length) v(s * dsub + j).toDouble else 0.0
+          val diff = x - cbs(s)(c)(j); d + diff * diff
+        }
+      }
+      ds.zipWithIndex.minBy { case (d, c) => (d, c) }._2.toByte
+    }
+    def refAdc(codes: Seq[Byte]): Double =
+      codes.zipWithIndex.map { case (c, s) => lut(s)(c & 0xFF) }.sum
+    def run(src: org.apache.spark.sql.DataFrame) = src.select($"id",
+      graft.ops.Ann.encodePq($"vec", cbs).as("codes"),
+      graft.functions.PqExpressions.adcDot(
+        graft.ops.Ann.encodePq($"vec", cbs), lut).as("adc"))
+    def grab(r: org.apache.spark.sql.DataFrame) = r.collect().map(x => x.getLong(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getAs[Array[Byte]](1).toSeq),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    val interp = grab(run(df))
+    for ((id, v) <- rows; if v != null) {
+      val exp = refEncode(v)
+      assert(interp(id)._1 === Some(exp), s"encode id=$id")
+      assert(interp(id)._2 === Some(refAdc(exp)), s"adc id=$id")
+    }
+    assert(interp(99L) === ((None, None)), "null vector → null codes, null adc")
+    val pq = java.nio.file.Files.createTempDirectory("graft-pqexpr").toString
+    df.write.mode("overwrite").parquet(pq)
+    val viaCg = run(s2.read.parquet(pq))
+    val plan = viaCg.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_encode") && plan.contains("*(1) Project"), plan.take(1200))
+    assert(!plan.contains("ScalaUDF"), plan.take(1200))
+    assert(grab(viaCg) === interp, "codegen vs interpreted")
+  }
+
+  test("pq: codebook fit is deterministic and one-scan-per-iteration; exact " +
+      "reconstruction data makes ADC equal the exact dot; rerank recovers " +
+      "brute-force top-k; indexed layout round-trips") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val m = 4
+    val dsub = dim / m
+    // 6 exact "prototype" subvector values per subspace; every vector is a
+    // combination of prototypes. Ids 0..5 are the PURE combinations (vector
+    // i uses prototype i in every subspace) so the deterministic seeds (the
+    // ksub smallest ids) land exactly ON the prototypes — Lloyd then stays
+    // there (each cluster's mean is its prototype) and reconstruction is
+    // EXACT. Random seeds can merge prototypes into a local minimum — the
+    // generic k-means caveat, not a kernel property this test pins.
+    val protos = Array.fill(m, 6)(Seq.fill(dsub)((rnd.nextDouble() * 2 - 1).toFloat))
+    val vecs = (0 until 200).map { i =>
+      val pick = (s: Int) => if (i < 6) i else rnd.nextInt(6)
+      (i.toLong, (0 until m).flatMap(s => protos(s)(pick(s))))
+    }
+    val df = vecs.toDF("id", "vec").localCheckpoint(true) // freeze the fixture plan
+    // all m subspace fits share ONE treeAggregate per iteration: the whole
+    // 8-iteration fit costs ≤ seeds + 8 jobs (+1 slack for the checkpoint
+    // read) — a per-subspace loop would cost ~m× the iteration jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    s2.sparkContext.addSparkListener(listener)
+    val fitA =
+      try {
+        val f = graft.ops.Ann.pqCodebooks(df, "id", "vec", m, ksub = 6, iters = 8)
+        // listener events post asynchronously — wait until the count settles
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 20) {
+          last = jobs.get(); Thread.sleep(250); spins += 1
+        }
+        f
+      } finally s2.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 10, s"${jobs.get()} jobs for an 8-iteration m=4 fit — " +
+      "the subspace fits must share one scan per iteration")
+    val fitB = graft.ops.Ann.pqCodebooks(df, "id", "vec", m, ksub = 6, iters = 8)
+    assert(fitA.map(_.map(_.toSeq).toSeq).toSeq === fitB.map(_.map(_.toSeq).toSeq).toSeq,
+      "fit must be deterministic")
+    // converged codebooks are the prototypes (as sets, per subspace)
+    for (s <- 0 until m) {
+      val got = fitA(s).map(_.map(x => math.round(x * 1e6) / 1e6).toSeq).toSet
+      val exp = protos(s).map(_.map(x => math.round(x.toDouble * 1e6) / 1e6).toSeq).toSet
+      assert(got === exp, s"subspace $s codebook should converge onto the prototypes")
+    }
+    // exact reconstruction ⇒ ADC == exact dot (same element-order folds, to
+    // double round-off across the per-subspace regrouping)
+    val q = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val codes = df.select($"id", graft.ops.Ann.encodePq($"vec", fitA).as("codes"))
+    val adc = graft.ops.Ann.topkPqAdc(codes, "id", "codes", q, fitA, 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = vecs.map { case (id, v) =>
+      id -> v.zip(q).foldLeft(0.0) { case (d, (a, b)) => d + a.toDouble * b.toDouble }
+    }.toMap
+    for ((id, e) <- exact)
+      assert(math.abs(adc(id) - e) < 1e-9, s"id=$id adc=${adc(id)} exact=$e")
+    // two-stage rerank returns the exact brute-force top-k here (shortlist
+    // big enough + exact reconstruction)
+    val rr = graft.ops.Ann.topkPqRerank(df, "id", "vec", q, fitA, k = 10, shortlist = 40)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = graft.ops.Ann.topkBrute(df, "id", "vec", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rr === brute)
+    // indexed layout: build → query equals the direct ADC scan; codes are
+    // m bytes (the 4·dim/m compression the layout exists for)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    graft.ops.Ann.buildPqIndex(df, "id", "vec", dir, m, ksub = 6, iters = 8)
+    val viaIdx = graft.ops.Ann.topkPqIndexed(s2, dir, "id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = graft.ops.Ann.topkPqAdc(codes, "id", "codes", q, fitA, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIdx === direct)
+    val width = s2.read.parquet(s"$dir/codes")
+      .select(length($"codes")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(width === Seq(m), s"codes must be exactly $m bytes (got $width)")
+    // sampled fit stays a pure function of the sample (no RNG)
+    val sA = graft.ops.Ann.pqCodebooks(df, "id", "vec", m, 6, 4, sampleFraction = 0.5)
+    val sB = graft.ops.Ann.pqCodebooks(df, "id", "vec", m, 6, 4, sampleFraction = 0.5)
+    assert(sA.map(_.map(_.toSeq).toSeq).toSeq === sB.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
