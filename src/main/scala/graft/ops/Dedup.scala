@@ -87,19 +87,27 @@ object Dedup {
     val pruned =
       if (maxBucketSize <= 0) banded
       else {
-        // The anti-join stays DISTRIBUTED (a boilerplate-heavy corpus can
-        // have millions of hot buckets — never collect them to the driver);
-        // the loud-drop log costs one bounded 1-row aggregate, and the two
-        // (band,key) shuffles over `banded` share their exchange.
-        val hot = banded.groupBy("band", "key")
-          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
-        val d = hot.agg(count(lit(1)), coalesce(sum("__bsz"), lit(0L))).collect()(0)
-        if (d.getLong(0) > 0)
-          System.err.println(s"[graft.Dedup] LSH hot-bucket cap $maxBucketSize dropped " +
-            s"${d.getLong(0)} buckets holding ${d.getLong(1)} rows — their pairs only " +
-            "surface via other bands")
-        if (d.getLong(0) == 0) banded
-        else banded.join(hot.select("band", "key"), Seq("band", "key"), "left_anti")
+        // LAZY hot-bucket guard — the same shape as [[semanticPairs]]'
+        // cell cap (advisor r6 cured the eager-.collect()-at-build-time
+        // disease there; this was its last instance): a window count over
+        // the (band, key) partitioning sizes every bucket in the SAME
+        // hash partitioning the bucket self-join needs anyway (the join
+        // reuses the exchange), the over-cap filter is a per-row
+        // predicate — a no-op when no bucket is hot — and the drop count
+        // is OBSERVED at execution time (CollectMetrics + the shared
+        // once-per-session listener), never a build-time driver action
+        // that freezes the apply/skip decision into the plan and
+        // recomputes the banded pass for an audit aggregate.
+        registerCapListener(df.sparkSession)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+        banded.withColumn("__bsz", count(lit(1)).over(w))
+          .observe(s"graft.lsh.bucketcap.${capSeq.incrementAndGet()}",
+            sum(when(col("__bsz") > maxBucketSize, 1L).otherwise(0L))
+              .as("memberships_dropped"),
+            coalesce(max(col("__bsz")), lit(0L)).as("max_cell_occupancy"),
+            max(lit(maxBucketSize.toLong)).as("cap"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("id", "band", "key")
       }
     val a = pruned.as("a")
     val b = pruned.as("b")
@@ -360,8 +368,10 @@ object Dedup {
         // prevent; it is NOT the true (rank-1) cell size once nprobe > 1.
         registerCapListener(cellsIn.sparkSession)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+        // unique observation name per invocation: two capped dedups in ONE
+        // plan (a union of pipelines) would otherwise collide on the name
         cellsIn.withColumn("__csz", count(lit(1)).over(w))
-          .observe("graft.semantic.cellcap",
+          .observe(s"graft.semantic.cellcap.${capSeq.incrementAndGet()}",
             sum(when(col("__csz") > maxCellSize, 1L).otherwise(0L))
               .as("memberships_dropped"),
             coalesce(max(col("__csz")), lit(0L)).as("max_cell_occupancy"),
@@ -390,32 +400,54 @@ object Dedup {
   val semanticCapDropped: java.util.concurrent.atomic.AtomicLong =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Total (band, key) memberships the LSH hot-bucket cap has dropped
+    * across executions in this JVM — the [[lshCandidates]] twin of
+    * [[semanticCapDropped]].
+    */
+  val lshCapDropped: java.util.concurrent.atomic.AtomicLong =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-invocation suffix for cap observation names (two capped dedups in
+    * one plan must not collide on the CollectMetrics name).
+    */
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val capListenerSessions =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
         java.lang.Boolean]())
 
-  /** Print [[semanticPairs]]' observed hot-cell drop metrics LOUDLY at
-    * execution time (once-per-session QueryExecutionListener over the
-    * `graft.semantic.cellcap` observation) — the cap decision itself lives
-    * in the lazy plan, so re-executions against changed inputs re-evaluate
-    * it and re-report (advisor r6).
+  /** Print the hot-cell / hot-bucket guards' observed drop metrics LOUDLY
+    * at execution time (once-per-session QueryExecutionListener over the
+    * `graft.semantic.cellcap.*` / `graft.lsh.bucketcap.*` observations) —
+    * the cap decision itself lives in the lazy plan, so re-executions
+    * against changed inputs re-evaluate it and re-report (advisor r6).
     */
   private def registerCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
     if (capListenerSessions.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.get("graft.semantic.cellcap").foreach { row =>
-            val dropped = row.getAs[Long]("memberships_dropped")
-            if (dropped > 0) {
-              semanticCapDropped.addAndGet(dropped)
-              System.err.println("[graft.Dedup] semantic hot-cell cap " +
-                s"${row.getAs[Long]("cap")} dropped $dropped cell memberships from " +
-                s"candidate generation (max cell occupancy " +
-                s"${row.getAs[Long]("max_cell_occupancy")}) — pairs inside dropped " +
-                "cells are LOST; re-run with more centroids (SemDeDup's k↑ answer) " +
-                "to rebalance, or raise nprobe to recover cross-cell recall")
+          qe.observedMetrics.foreach { case (name, row) =>
+            val semantic = name.startsWith("graft.semantic.cellcap")
+            if (semantic || name.startsWith("graft.lsh.bucketcap")) {
+              val dropped = row.getAs[Long]("memberships_dropped")
+              if (dropped > 0 && semantic) {
+                semanticCapDropped.addAndGet(dropped)
+                System.err.println("[graft.Dedup] semantic hot-cell cap " +
+                  s"${row.getAs[Long]("cap")} dropped $dropped cell memberships from " +
+                  s"candidate generation (max cell occupancy " +
+                  s"${row.getAs[Long]("max_cell_occupancy")}) — pairs inside dropped " +
+                  "cells are LOST; re-run with more centroids (SemDeDup's k↑ answer) " +
+                  "to rebalance, or raise nprobe to recover cross-cell recall")
+              } else if (dropped > 0) {
+                lshCapDropped.addAndGet(dropped)
+                System.err.println("[graft.Dedup] LSH hot-bucket cap " +
+                  s"${row.getAs[Long]("cap")} dropped $dropped bucket memberships from " +
+                  s"candidate generation (max bucket size " +
+                  s"${row.getAs[Long]("max_cell_occupancy")}) — their pairs only " +
+                  "surface via other bands")
+              }
             }
           }
         override def onFailure(funcName: String,

@@ -85,8 +85,31 @@ class OpsSpec extends SparkTestBase {
     val sh = all.select(col("id"), TextOps.shingles(col("text"), 3).as("sh"))
       .withColumn("sig", Dedup.minhashXx(col("sh"), 8))
     val uncapped = Dedup.lshCandidates(sh, "id", "sig", bands = 4).count()
-    val capped = Dedup.lshCandidates(sh, "id", "sig", bands = 4, maxBucketSize = 10)
+    // the guard is LAZY (advisor r6): building the capped frame runs ZERO
+    // Spark jobs — the apply/skip decision lives in the plan, not frozen at
+    // build time — and the drop is observed (counted) at execution
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    s.sparkContext.addSparkListener(listener)
+    val capped =
+      try {
+        val c = Dedup.lshCandidates(sh, "id", "sig", bands = 4, maxBucketSize = 10)
+        Thread.sleep(500) // listener events post asynchronously
+        assert(jobs.get() === 0, s"capped builder ran ${jobs.get()} jobs at BUILD time")
+        c
+      } finally s.sparkContext.removeSparkListener(listener)
+    val dropped0 = Dedup.lshCapDropped.get()
     val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // drop metrics surface at execution (the 30-doc bucket is over the cap
+    // in all 4 bands); the listener delivery is async — poll briefly
+    var spins = 0
+    while (Dedup.lshCapDropped.get() === dropped0 && spins < 20) {
+      Thread.sleep(250); spins += 1
+    }
+    assert(Dedup.lshCapDropped.get() > dropped0, "execution must report the drop")
     // the 30-doc cluster (435 pairs) is dropped; small-bucket pairs survive
     assert(uncapped >= 435L + 1L)
     assert(!cappedPairs.exists(p => p._1 >= 100L && p._2 >= 100L))
