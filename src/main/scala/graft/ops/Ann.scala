@@ -433,15 +433,86 @@ object Ann {
 
   /** ADC top-k against a [[buildPqIndex]] layout. */
   def topkPqIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
-      idCol: String, query: Seq[Float], k: Int): DataFrame = {
+      idCol: String, query: Seq[Float], k: Int): DataFrame =
+    topkPqAdc(spark.read.parquet(s"$dir/codes"), idCol, "codes", query,
+      readCodebooks(spark, dir), k)
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$dir/codebooks")
       .select("sub", "code", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
-    val cbs = Array.tabulate(m) { s =>
-      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
-    }
-    topkPqAdc(spark.read.parquet(s"$dir/codes"), idCol, "codes", query, cbs, k)
+    Array.tabulate(m) { s => rows.filter(_._1 == s).sortBy(_._2).map(_._3) }
+  }
+
+  /** Build an IVF-PQ index — the two quantizers composed (the FAISS IVFPQ /
+    * Jégou et al. §IV shape): the spherical k-means coarse quantizer routes
+    * each vector to a cell ([[kmeansCentroids]] + the native
+    * [[graft.functions.MatrixExpressions.topDotCells]] assignment), a PQ
+    * code compresses it, and the codes land range-laid-out by cell so an
+    * nprobe query's parquet scan reads ONLY the probed cells' files
+    * (min/max pruning) — and each row it reads is `m` bytes, not 4·dim.
+    * At 100 TB this is the serving shape: cells bound the scanned fraction,
+    * PQ bounds the bytes per scanned row, and the exact re-rank touches
+    * only the shortlist's raw vectors by id.
+    *
+    * Codes are plain PQ over the VECTORS, not the per-cell residuals
+    * (IVFADC): residual coding buys recall but needs one LUT per probed
+    * cell per query (the ADC scan cost grows with nprobe) and a
+    * subtract-centroid pass at build; the non-residual form keeps ONE LUT
+    * per query and lets [[topkPqAdc]] serve both layouts unchanged. The
+    * standard recall answer here is nprobe↑ + rerank (both provided).
+    */
+  def buildIvfPq(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      cells: Int, coarseIters: Int, m: Int, ksub: Int, pqIters: Int,
+      sampleFraction: Double = 1.0): Unit = {
+    val spark = df.sparkSession
+    val cents = kmeansCentroids(df, idCol, vecCol, cells, coarseIters, sampleFraction)
+    val centArr = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val cbs = pqCodebooks(df, idCol, vecCol, m, ksub, pqIters, sampleFraction)
+    val assign = graft.functions.MatrixExpressions.topDotCells(col(vecCol),
+      centArr.map(_._2), centArr.map(_._1), 1)
+    df.select(col(idCol), element_at(assign, 1).as("cell"),
+        encodePq(col(vecCol), cbs).as("codes"))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** ADC top-k against a [[buildIvfPq]] layout: rank cells by query·centroid
+    * on the driver (k cells — metadata), push the nprobe cell filter to the
+    * parquet scan (file pruning via the range layout), ADC-score the probed
+    * codes. `nprobe = cells` degrades gracefully to the full-corpus
+    * [[topkPqIndexed]] scan. Exact re-rank: feed the returned ids to the
+    * raw vector table ([[topkPqRerank]]'s tail).
+    */
+  def topkIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, query: Seq[Float], k: Int, nprobe: Int = 1): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val q = query.map(_.toDouble).toArray
+    val probes = cents
+      .map { case (cell, c) =>
+        var d = 0.0
+        var i = 0
+        val n = math.min(c.length, q.length)
+        while (i < n) { d += c(i) * q(i); i += 1 }
+        (cell, d)
+      }
+      .sortBy { case (cell, d) => (-d, cell) }
+      .take(math.max(1, nprobe)).map(_._1)
+    val cbs = readCodebooks(spark, dir)
+    topkPqAdc(spark.read.parquet(s"$dir/codes").filter(col("cell").isin(probes.toSeq: _*)),
+      idCol, "codes", query, cbs, k)
   }
 
   private def normalized(v: Array[Double]): Array[Double] = {

@@ -864,4 +864,44 @@ class OpsSpec extends SparkTestBase {
     val sB = graft.ops.Ann.pqCodebooks(df, "id", "vec", m, 6, 4, sampleFraction = 0.5)
     assert(sA.map(_.map(_.toSeq).toSeq).toSeq === sB.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("ivf-pq: nprobe=cells equals the full PQ scan; nprobe=1 finds the " +
+      "query's own cluster; the cell filter is pushed to the parquet scan") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(47)
+    val dim = 16
+    // 4 tight clusters around well-separated anchors — the coarse quantizer
+    // recovers them, and a query near one anchor finds its cluster at
+    // nprobe=1
+    val anchors = Array.fill(4)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0 until 160).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(x => (x + (rnd.nextDouble() - 0.5) * 0.05).toFloat).toSeq)
+    }
+    val df = vecs.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    graft.ops.Ann.buildIvfPq(df, "id", "vec", dir, cells = 4, coarseIters = 4,
+      m = 4, ksub = 8, pqIters = 4)
+    val q = anchors(2).map(x => (x + 0.01).toFloat).toSeq
+    // probing every cell == the cell-less full-code ADC scan (same scores)
+    val allCells = graft.ops.Ann.topkIvfPq(s2, dir, "id", q, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullScan = graft.ops.Ann.topkPqAdc(
+        s2.read.parquet(s"$dir/codes"), "id", "codes", q,
+        graft.ops.Ann.pqCodebooks(df, "id", "vec", 4, 8, 4), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(allCells === fullScan)
+    // nprobe=1 scans one cell and still returns cluster-2 members only
+    val one = graft.ops.Ann.topkIvfPq(s2, dir, "id", q, k = 10, nprobe = 1)
+    val plan = one.queryExecution.executedPlan.toString
+    // the probe filter reaches the scan → file pruning (a 1-element isin
+    // constant-folds to EqualTo; either form proves the pushdown)
+    val pushed = plan.toLowerCase
+    assert(pushed.contains("pushedfilters") &&
+      (pushed.contains("equalto(cell") || pushed.contains("in(cell")), plan.take(1500))
+    val ids = one.collect().map(_.getLong(0)).toSeq
+    assert(ids.nonEmpty && ids.forall(_ % 4 === 2L),
+      s"nprobe=1 should return only the query's cluster (got $ids)")
+  }
 }
