@@ -339,6 +339,16 @@ object SparkEntry {
         qz(q.getField("mean_token_len")).as("meanlen_q"),
         qz(q.getField("alpha_ratio")).as("alpha_q"))
     }),
+    // Gopher repetition filters (Rae et al. 2021, App. A1.1): duplicate-
+    // token fraction + top-{2,3,4}-gram char-mass fractions per doc
+    "q_repetition" -> ((sp, dir) => {
+      val r = graft.ops.TextOps.repetition(col("content"))
+      searcher(sp, dir).index.docs.select(col("docId").as("docid"),
+        qz(r.getField("dup_token_frac")).as("dup_q"),
+        qz(r.getField("top2gram_char_frac")).as("top2_q"),
+        qz(r.getField("top3gram_char_frac")).as("top3_q"),
+        qz(r.getField("top4gram_char_frac")).as("top4_q"))
+    }),
     "q_fingerprint" -> ((sp, dir) => {
       searcher(sp, dir).index.docs
         .select(col("docId").as("docid"),
@@ -804,6 +814,47 @@ object SparkEntry {
          |  CAST(floor((CASE WHEN n > 0 THEN CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS meanlen_q,
          |  CAST(floor((CASE WHEN chars > 0 THEN (chars - nonalpha) / chars ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS alpha_q
          |FROM qq""".stripMargin
+    },
+    "q_repetition" -> {
+      // Gopher repetition filters over the prelude's tokp positions:
+      // n-grams = self-joins on consecutive pos; the top n-gram ties break
+      // on (cnt desc, space-joined gram asc) — identical to the Spark
+      // kernel since ' ' sorts below every token char. Char masses are
+      // BIGINT-exact before ONE double division, matching the engine's
+      // arithmetic order.
+      def gram(n: Int) = {
+        val joins = (1 until n)
+          .map(i => s"JOIN tokp t$i ON t$i.docid = t0.docid AND t$i.pos = t0.pos + $i")
+          .mkString(" ")
+        val g = (0 until n).map(i => s"t$i.term").mkString(" || ' ' || ")
+        val len = (0 until n).map(i => s"length(t$i.term)").mkString(" + ")
+        s"""g$n AS (
+           |  SELECT t0.docid, $g AS g, $len AS len, count(*) AS cnt
+           |  FROM tokp t0 $joins GROUP BY 1, 2, 3
+           |), t$n AS (
+           |  SELECT docid, cnt * len AS mass FROM (
+           |    SELECT docid, cnt, len,
+           |      row_number() OVER (PARTITION BY docid ORDER BY cnt DESC, g ASC) AS rn
+           |    FROM g$n) WHERE rn = 1
+           |)""".stripMargin
+      }
+      def frac(mass: String, denom: String) =
+        s"CAST(floor((CASE WHEN $denom > 0 THEN CAST(COALESCE($mass, 0) AS DOUBLE) " +
+          s"/ CAST($denom AS DOUBLE) ELSE 0 END) * 10000 + 0.5) AS BIGINT)"
+      s"""$prelude, tstats AS (
+         |  SELECT docid, sum(tf) AS nt, count(*) AS ndist,
+         |         sum(length(term) * tf) AS denom
+         |  FROM tf GROUP BY 1
+         |), ${gram(2)}, ${gram(3)}, ${gram(4)}
+         |SELECT c.docid,
+         |  ${frac("nt - ndist", "nt")} AS dup_q,
+         |  ${frac("t2.mass", "denom")} AS top2_q,
+         |  ${frac("t3.mass", "denom")} AS top3_q,
+         |  ${frac("t4.mass", "denom")} AS top4_q
+         |FROM corpus c
+         |LEFT JOIN tstats USING (docid)
+         |LEFT JOIN t2 USING (docid) LEFT JOIN t3 USING (docid) LEFT JOIN t4 USING (docid)"""
+        .stripMargin
     },
     "q_fingerprint" ->
       s"""$prelude, shx AS (

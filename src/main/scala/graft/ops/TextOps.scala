@@ -95,6 +95,66 @@ object TextOps {
       alphaRatio.as("alpha_ratio"))
   }
 
+  /** Repetition metrics — the Gopher quality-filter family (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", 2021, App. A1.1): documents dominated by repeated content are
+    * low-quality training data and slip past length/stopword heuristics.
+    * Token-level signals (the paper's line/paragraph twins reduce to these
+    * on single-line corpora and are a split('\n') away):
+    *
+    *  - `dup_token_frac`: (n_tokens − n_distinct_tokens) / n_tokens —
+    *    occurrences beyond a token's first are "duplicates".
+    *  - `top{2,3,4}gram_char_frac`: char mass of the MOST FREQUENT word
+    *    n-gram (count × Σ of its tokens' lengths, spaces excluded; ties →
+    *    lexicographically smallest space-joined n-gram) over the total
+    *    token char mass. Overlapping occurrences count (sliding window).
+    *
+    * All zeros for empty/too-short docs. One compiled pass over the
+    * codegen'd token array (the HOF equivalent is interpreted and
+    * re-materializes every n-gram).
+    */
+  def repetition(text: Column): Column = {
+    val f = udf((ts: Seq[String]) => {
+      if (ts == null || ts.isEmpty) (0.0, 0.0, 0.0, 0.0)
+      else {
+        var denom = 0L
+        val seen = new java.util.HashSet[String]()
+        ts.foreach { t => denom += t.length; seen.add(t) }
+        val dupFrac = (ts.length - seen.size).toDouble / ts.length
+        def topFrac(n: Int): Double =
+          if (ts.length < n || denom == 0L) 0.0
+          else {
+            val counts = new java.util.HashMap[String, Integer]()
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i + n <= ts.length) {
+              sb.setLength(0)
+              var j = i
+              while (j < i + n) { if (j > i) sb.append(' '); sb.append(ts(j)); j += 1 }
+              counts.merge(sb.toString, 1, (a, b) => a + b)
+              i += 1
+            }
+            var bestG: String = null
+            var bestC = 0
+            counts.forEach { (g, c) =>
+              if (c > bestC || (c == bestC && g.compareTo(bestG) < 0)) {
+                bestG = g; bestC = c
+              }
+            }
+            // space-joined key minus the n−1 spaces = the tokens' char mass
+            (bestC.toLong * (bestG.length - (n - 1))).toDouble / denom.toDouble
+          }
+        (dupFrac, topFrac(2), topFrac(3), topFrac(4))
+      }
+    })
+    val r = f(tokens(text))
+    struct(
+      r.getField("_1").as("dup_token_frac"),
+      r.getField("_2").as("top2gram_char_frac"),
+      r.getField("_3").as("top3gram_char_frac"),
+      r.getField("_4").as("top4gram_char_frac"))
+  }
+
   /** Word n-gram shingles: array of space-joined n-grams. Compiled UDF over
     * the (codegen'd) token array — the equivalent transform/slice
     * higher-order expression is interpreted and allocation-heavy.

@@ -865,6 +865,33 @@ class OpsSpec extends SparkTestBase {
     assert(sA.map(_.map(_.toSeq).toSeq).toSeq === sB.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("repetition: Gopher metrics pinned on hand-computed docs (dup-token " +
+      "fraction, top-n-gram char mass, ties, empty/short edges)") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      // "spam spam spam eggs": 4 tokens, 2 distinct → dup 2/4; denom 4+4+4+4=16
+      // top-2gram "spam spam" cnt 2, len 8 → 16/16 = 1.0
+      // top-3gram "spam spam spam" cnt 1 (ties → lexicographic smallest:
+      // "spam spam eggs" vs "spam spam spam" → "spam spam eggs" wins), len 12 → 12/16
+      (1L, "spam spam spam eggs"),
+      (2L, "all distinct tokens here"), // dup 0; every 2-gram cnt 1 → tie → "all distinct" len 11 / denom 21
+      (3L, ""), // empty → all zeros
+      (4L, "one")) // 1 token: dup 0, no n-grams → tops 0
+      .toDF("id", "text")
+    val r = graft.ops.TextOps.repetition(col("text"))
+    val got = df.select(col("id"), r.getField("dup_token_frac").as("d"),
+        r.getField("top2gram_char_frac").as("t2"),
+        r.getField("top3gram_char_frac").as("t3"),
+        r.getField("top4gram_char_frac").as("t4"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(got(1L) === ((0.5, 1.0, 12.0 / 16.0, 16.0 / 16.0)))
+    assert(got(2L) === ((0.0, 11.0 / 21.0, 17.0 / 21.0, 21.0 / 21.0)))
+    assert(got(3L) === ((0.0, 0.0, 0.0, 0.0)))
+    assert(got(4L) === ((0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("ivf-pq: nprobe=cells equals the full PQ scan; nprobe=1 finds the " +
       "query's own cluster; the cell filter is pushed to the parquet scan") {
     val s2 = spark
