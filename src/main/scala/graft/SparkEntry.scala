@@ -321,6 +321,16 @@ object SparkEntry {
           sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", window = 8)
         .select(col("doc_id"), col("start").cast("long").as("win_start"), col("h"))
     }),
+    // benchmark DECONTAMINATION (GPT-3 App. C): score corpus docs by 8-token
+    // window overlap against a deterministic held-out "eval set" slice
+    // (every 20th doc) — the split is part of the contract, not the op
+    "q_decontaminate" -> ((sp, dir) => {
+      val docs = sp.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.contamination(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text", window = 8)
+        .select(col("doc_id"), col("matched_windows"), col("matched_grams"))
+    }),
     "q_token_stats" -> ((sp, dir) => {
       searcher(sp, dir).index.docs
         .select(col("docId").as("docid"),
@@ -782,6 +792,19 @@ object SparkEntry {
         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
         |)
         |SELECT doc_id, win_start, h FROM wins JOIN dup USING (h)""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) _l
+        |  WHERE len(ts) >= 8
+        |), bench AS (SELECT DISTINCT h FROM wins WHERE doc_id % 20 = 0),
+        |corp AS (SELECT doc_id, h FROM wins WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, count(*) AS matched_windows, count(DISTINCT h) AS matched_grams
+        |FROM corp JOIN bench USING (h) GROUP BY 1""".stripMargin,
     "q_token_stats" -> // over ALL docs (zero-token docs included), unlike the
       // index-side dl CTE whose docs define the field's docCount
       s"""$prelude SELECT c.docid, count(t.term) AS n_tokens

@@ -663,6 +663,58 @@ object Dedup {
     wins.join(dups, "h").select("doc_id", "start", "h")
   }
 
+  /** Benchmark decontamination scoring (Brown et al., "Language Models are
+    * Few-Shot Learners", NeurIPS 2020, Appendix C; the Dolma/“what's in my
+    * big data” contamination check): score each corpus document by its
+    * n-token-window overlap with an evaluation set. One row per CONTAMINATED
+    * corpus doc: (doc_id, matched_windows, matched_grams) — the count of
+    * window occurrences whose hash appears anywhere in the benchmark, and
+    * the count of distinct such hashes. Callers drop or excise on a
+    * threshold (GPT-3's rule was any-collision at n=13); [[decontaminate]]
+    * is the drop form.
+    *
+    * Shape at 100 TB: the benchmark side reduces to DISTINCT window hashes
+    * BEFORE the join — an eval suite is tiny next to a training corpus
+    * (millions of grams vs trillions), so the post-distinct gram set sits
+    * under the broadcast threshold and AQE plans a broadcast hash join: the
+    * corpus's one expensive tokenize+hash scan is consumed exactly once
+    * with NO corpus-side shuffle before the per-doc aggregate (itself an
+    * equi-shuffle on doc_id with map-side partial agg). A pathologically
+    * large bench side degrades gracefully to a shuffle equi-join on `h` —
+    * never a product. `hasher` defaults to the oracle-checkable md5 form
+    * ([[passageHashes]]); pass [[passageHashesXx]] for production sweeps.
+    */
+  def contamination(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchText: String, window: Int = 8,
+      hasher: (Column, Int) => Column = passageHashes): DataFrame = {
+    val benchGrams = bench
+      .select(explode(hasher(col(benchText), window)).as("h"))
+      .distinct()
+    corpus
+      .select(col(corpusId).as("doc_id"),
+        explode(hasher(col(corpusText), window)).as("h"))
+      .join(benchGrams, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched_windows"),
+        countDistinct(col("h")).as("matched_grams"))
+  }
+
+  /** Drop-form decontamination: the corpus minus every document sharing at
+    * least `minMatches` n-token windows with the benchmark (default: the
+    * GPT-3 any-collision rule). A left-anti equi-join on doc_id against
+    * [[contamination]]'s output — all columns of `corpus` pass through.
+    */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchText: String, window: Int = 8,
+      minMatches: Long = 1L,
+      hasher: (Column, Int) => Column = passageHashes): DataFrame = {
+    val bad = contamination(corpus, corpusId, corpusText, bench, benchText,
+        window, hasher)
+      .filter(col("matched_windows") >= minMatches)
+      .select(col("doc_id").as("__contaminated_id"))
+    corpus.join(bad, corpus(corpusId) === col("__contaminated_id"), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list — the clustering step a
     * training-data dedup pipeline runs AFTER candidate verification (group
     * the verified pairs, keep one representative per group). Returns one row

@@ -366,6 +366,36 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
   }
 
+  test("decontamination: window overlap vs a benchmark set — exact counts, drop form, xx/md5 parity") {
+    val s2 = spark
+    import s2.implicits._
+    val leak = "what is the capital of france paris obviously right" // 9 tokens
+    val corpus = Seq(
+      (1L, s"intro words $leak closing remark"),          // embeds the eval passage
+      (2L, s"other text then $leak and $leak again done"), // embeds it twice
+      (3L, "completely clean document with zero overlap against any benchmark")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"q: $leak")).toDF("bench_id", "text")
+    val got = graft.ops.Dedup.contamination(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // the 9-token passage has 2 contained 8-token windows; doc 2 holds each
+    // twice (4 occurrences, 2 distinct grams), doc 3 is absent
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 4L, 2L)))
+    // drop form: any-collision rule removes docs 1 and 2, passes 3 through
+    val kept = graft.ops.Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L))
+    // threshold form: minMatches = 3 keeps the single-occurrence doc 1
+    val kept3 = graft.ops.Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+        minMatches = 3L).select("doc_id").as[Long].collect().sorted
+    assert(kept3.toSeq === Seq(1L, 3L))
+    // production xx hasher: structurally identical counts
+    val gotXx = graft.ops.Dedup.contamination(corpus, "doc_id", "text", bench, "text",
+        hasher = graft.ops.Dedup.passageHashesXx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(gotXx.toSeq === Seq((1L, 2L, 2L), (2L, 4L, 2L)))
+  }
+
   test("plan guard: banded cosine LSH is equi-join-shaped — no cartesian product") {
     val s = spark
     import s.implicits._
