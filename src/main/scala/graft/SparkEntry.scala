@@ -321,6 +321,25 @@ object SparkEntry {
           sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", window = 8)
         .select(col("doc_id"), col("start").cast("long").as("win_start"), col("h"))
     }),
+    // HIGHLIGHT passage selection (UnifiedHighlighter density policy): the
+    // corpus rows are terminator-free single passages, so the contract
+    // joins 5 docs with ". " into multi-passage texts — selection has to
+    // pick the densest passage, ties to the earliest. Tag insertion needs
+    // match offsets no SQL engine surfaces; it stays pinned by golds
+    // (ConstitutionSpec), with bestPassages == tag-stripped highlight.
+    "q_highlight" -> ((sp, dir) => {
+      val grouped = sp.read.parquet(s"$dir/documents.parquet")
+        .groupBy(floor(col("doc_id") / 5).cast("long").as("grp"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), ". ").as("text"))
+      val terms = Set("merge", "sort")
+      val snip = udf((t: String) =>
+        graft.exec.Highlighter.bestPassages(
+          graft.analysis.Analyzers.standard, terms, t).mkString("..."))
+      grouped.select(col("grp"), snip(col("text")).as("passage"))
+        .filter(length(col("passage")) > 0)
+    }),
     // benchmark DECONTAMINATION (GPT-3 App. C): score corpus docs by 8-token
     // window overlap against a deterministic held-out "eval set" slice
     // (every 20th doc) — the split is part of the contract, not the op
@@ -584,6 +603,29 @@ object SparkEntry {
         graft.ops.Ann.encodePq(col("embedding"), cbs).as("codes"))
       graft.ops.Ann.topkPqAdc(codes, "vec_id", "codes", vecs(0L), cbs, 10)
         .select(col("vec_id"), qz(col("adc")).as("adc_q"))
+    }),
+    // IVF-PQ SERVING path with fixed artifacts: coarse centroids =
+    // embeddings 5..8 (cells 1..4), PQ codebooks = embeddings 1..4 (the
+    // q_pq_adc trick), query = embedding 0, nprobe = 2. Pins the routing
+    // (Ann.routeCells: query·centroid desc, cell asc — the SAME code
+    // topkIvfPq runs), the first-max cell assignment, and the ADC scan
+    // over only the probed cells' vectors. The k-means fits and the
+    // cell-range parquet layout (file pruning) are gold-tested in OpsSpec.
+    "q_ivfpq_adc" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val vecs = emb.filter(col("vec_id").between(0, 8)).select("vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val cbs = graft.ops.Ann.pqCodebooksFromVectors(
+        Seq(vecs(1L), vecs(2L), vecs(3L), vecs(4L)), m = 4)
+      val cents = (1L to 4L).map(c => c -> vecs(c + 4L).map(_.toDouble).toArray)
+      val probes = graft.ops.Ann.routeCells(vecs(0L), cents, nprobe = 2)
+      val assign = graft.functions.MatrixExpressions.topDotCells(col("embedding"),
+        cents.map(_._2).toArray, cents.map(_._1).toArray, 1)
+      val codes = emb.select(col("vec_id"), element_at(assign, 1).as("cell"),
+        graft.ops.Ann.encodePq(col("embedding"), cbs).as("codes"))
+      graft.ops.Ann.topkPqAdc(codes.filter(col("cell").isin(probes: _*)),
+          "vec_id", "codes", vecs(0L), cbs, 10)
+        .select(col("vec_id"), qz(col("adc")).as("adc_q"))
     })
   )
 
@@ -792,6 +834,28 @@ object SparkEntry {
         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
         |)
         |SELECT doc_id, win_start, h FROM wins JOIN dup USING (h)""".stripMargin,
+    "q_highlight" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(doc_id / 5) AS BIGINT) AS grp,
+        |         string_agg(text, '. ' ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1
+        |), sp AS (
+        |  SELECT grp, string_split(
+        |           regexp_replace(text, '([.!?])( )', '\1' || chr(1) || '\2', 'g'),
+        |           chr(1)) AS ps
+        |  FROM g
+        |), pass AS (
+        |  SELECT grp, unnest(ps) AS p, unnest(range(len(ps))) AS idx FROM sp
+        |), scored AS (
+        |  SELECT grp, idx, trim(p) AS passage,
+        |         len(list_filter(regexp_extract_all(lower(p), '[a-z0-9_]+(?:[''.][a-z0-9_]+)*'),
+        |             t -> t IN ('merge', 'sort'))) AS hits
+        |  FROM pass
+        |)
+        |SELECT grp, passage FROM (
+        |  SELECT grp, passage, row_number() OVER (PARTITION BY grp ORDER BY hits DESC, idx ASC) AS rn
+        |  FROM scored WHERE hits > 0)
+        |WHERE rn = 1""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1100,6 +1164,55 @@ object SparkEntry {
                             "list_slice(c.ce, s.sub*16+1, s.sub*16+16)")} ASC, c.code ASC
          |     LIMIT 1) AS code
          |  FROM embeddings e CROSS JOIN subs s
+         |), parts AS (
+         |  SELECT enc.vec_id, enc.sub,
+         |    ${dot("list_slice(q.qe, enc.sub*16+1, enc.sub*16+16)",
+                    "list_slice(c.ce, enc.sub*16+1, enc.sub*16+16)")} AS part
+         |  FROM enc JOIN cb c ON c.code = enc.code CROSS JOIN q
+         |), agg AS (
+         |  SELECT vec_id, list_sum(list(part ORDER BY sub)) AS adc FROM parts GROUP BY 1
+         |)
+         |SELECT vec_id, CAST(floor(adc * 10000 + 0.5) AS BIGINT) AS adc_q
+         |FROM agg ORDER BY adc DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    "q_ivfpq_adc" -> {
+      // q_pq_adc plus IVF: cells from fixed coarse centroids (embeddings
+      // 5..8 = cells 1..4, first-max argmax like topDotCells), the query
+      // probes its top-2 cells (dot desc, cell asc = Ann.routeCells), and
+      // the ADC scan sees ONLY vectors assigned to a probed cell
+      val sq = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      val dot = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val ctDefs = (1 to 4)
+        .map(c => s"(SELECT embedding FROM embeddings WHERE vec_id = ${c + 4}) AS c$c")
+        .mkString(", ")
+      val dlist = (1 to 4).map(c => dot("e.embedding", s"ct.c$c")).mkString("[", ", ", "]")
+      val qdots = (1 to 4)
+        .map(c => s"SELECT $c AS cell, ${dot("q.qe", s"ct.c$c")} AS d FROM q CROSS JOIN ct")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings WHERE vec_id IN (1,2,3,4)),
+         |ct AS (SELECT $ctDefs),
+         |cells AS (
+         |  SELECT e.vec_id, list_position(dlist, list_aggregate(dlist, 'max')) AS cell
+         |  FROM (SELECT e.vec_id, $dlist AS dlist FROM embeddings e CROSS JOIN ct) e
+         |),
+         |probes AS (
+         |  SELECT cell FROM ($qdots) ORDER BY d DESC, cell ASC LIMIT 2
+         |),
+         |probed AS (
+         |  SELECT e.* FROM embeddings e JOIN cells USING (vec_id) JOIN probes USING (cell)
+         |),
+         |subs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(sub)),
+         |enc AS (
+         |  SELECT e.vec_id, s.sub,
+         |    (SELECT c.code FROM cb c
+         |     ORDER BY ${sq("list_slice(e.embedding, s.sub*16+1, s.sub*16+16)",
+                            "list_slice(c.ce, s.sub*16+1, s.sub*16+16)")} ASC, c.code ASC
+         |     LIMIT 1) AS code
+         |  FROM probed e CROSS JOIN subs s
          |), parts AS (
          |  SELECT enc.vec_id, enc.sub,
          |    ${dot("list_slice(q.qe, enc.sub*16+1, enc.sub*16+16)",

@@ -25,12 +25,13 @@ object Highlighter {
     case _              => Set.empty
   }
 
-  /** Highlight `text`: split into sentence-ish passages, score by matching
-    * token count, keep the top `maxPassages` (document order), wrap matches.
+  /** Passage selection shared by [[highlight]] and [[bestPassages]]: split
+    * at sentence enders (or newlines) followed by whitespace, score each
+    * passage by matching token count, keep the top `maxPassages` with ≥ 1
+    * hit in document order (stable sort ⇒ ties go to the earlier passage).
     */
-  def highlight(analyzer: Analyzer, terms: Set[String], text: String, maxPassages: Int = 1): String = {
-    if (terms.isEmpty || text.isEmpty) return text
-    // passage boundaries: sentence enders followed by whitespace, or newlines
+  private def selectPassages(analyzer: Analyzer, terms: Set[String], text: String,
+      maxPassages: Int): Vector[(Int, Int)] = {
     val bounds = scala.collection.mutable.ArrayBuffer(0)
     var i = 0
     while (i < text.length - 1) {
@@ -48,9 +49,29 @@ object Highlighter {
       val hits = toks.count(t => terms.contains(t.term))
       (a, b, hits)
     }
-    val keep = scored.filter(_._3 > 0).sortBy(-_._3).take(maxPassages).sortBy(_._1)
+    scored.filter(_._3 > 0).sortBy(-_._3).take(maxPassages).sortBy(_._1)
+      .map { case (a, b, _) => (a, b) }
+  }
+
+  /** The selected passages UNWRAPPED (analyzer-preprocessed, stripped) —
+    * the oracle-checkable half of highlighting: which passage the density
+    * policy picks is plain SQL, whereas tag insertion needs match offsets
+    * no SQL engine surfaces. `highlight` == this with matches wrapped.
+    */
+  def bestPassages(analyzer: Analyzer, terms: Set[String], text: String,
+      maxPassages: Int = 1): Vector[String] =
+    if (terms.isEmpty || text.isEmpty) Vector.empty
+    else selectPassages(analyzer, terms, text, maxPassages)
+      .map { case (a, b) => analyzer.preprocess(text.substring(a, b)).strip }
+
+  /** Highlight `text`: split into sentence-ish passages, score by matching
+    * token count, keep the top `maxPassages` (document order), wrap matches.
+    */
+  def highlight(analyzer: Analyzer, terms: Set[String], text: String, maxPassages: Int = 1): String = {
+    if (terms.isEmpty || text.isEmpty) return text
+    val keep = selectPassages(analyzer, terms, text, maxPassages)
     if (keep.isEmpty) return ""
-    keep.map { case (a, b, _) =>
+    keep.map { case (a, b) =>
       // token offsets refer to the analyzer's preprocessed view of the text
       // (identical for plain analyzers; camelCase-split for the code one)
       val seg = analyzer.preprocess(text.substring(a, b))

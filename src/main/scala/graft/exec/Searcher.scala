@@ -1344,6 +1344,21 @@ class Searcher(val index: Index) extends Serializable {
       .apply(col(field))
   }
 
+  /** Best unwrapped passage(s) for a query — [[Highlighter.bestPassages]]
+    * as a column (the oracle-checkable passage-selection half of
+    * [[highlightCol]]; multiple passages join on "...", empty string when
+    * no passage matches).
+    */
+  def bestPassageCol(q: Query, field: String, maxPassages: Int = 1): Column = {
+    val analyzer = index.schema.analyzerFor(field)
+    val terms = Highlighter.queryTerms(q, field)
+    val mp = maxPassages
+    udf((text: String) =>
+      if (text == null) null
+      else Highlighter.bestPassages(analyzer, terms, text, mp).mkString("..."))
+      .apply(col(field))
+  }
+
   /** Parse a classic query string against a default field; with
     * `spellcheck=true`, unknown terms are rewritten to their top suggestion
     * (SpellParser, /root/reference/lupyne/engine/queries.py:285-312 —

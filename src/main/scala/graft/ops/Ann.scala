@@ -499,8 +499,22 @@ object Ann {
     val cents = spark.read.parquet(s"$dir/centroids")
       .select("cell", "centroid").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val probes = routeCells(query, cents.toSeq, nprobe)
+    val cbs = readCodebooks(spark, dir)
+    topkPqAdc(spark.read.parquet(s"$dir/codes").filter(col("cell").isin(probes.toSeq: _*)),
+      idCol, "codes", query, cbs, k)
+  }
+
+  /** IVF query routing: the top-`nprobe` cells by (query·centroid desc,
+    * cell asc) — a driver-side pass over k (cell, centroid) rows, the
+    * metadata-scale collect [[topkIvfPq]] is built on. Public so a caller
+    * composing its own serving layout (or an oracle) routes through the
+    * SAME ordering/tie code the indexed path uses.
+    */
+  def routeCells(query: Seq[Float], cents: Seq[(Long, Array[Double])],
+      nprobe: Int): Seq[Long] = {
     val q = query.map(_.toDouble).toArray
-    val probes = cents
+    cents
       .map { case (cell, c) =>
         var d = 0.0
         var i = 0
@@ -509,10 +523,7 @@ object Ann {
         (cell, d)
       }
       .sortBy { case (cell, d) => (-d, cell) }
-      .take(math.max(1, nprobe)).map(_._1)
-    val cbs = readCodebooks(spark, dir)
-    topkPqAdc(spark.read.parquet(s"$dir/codes").filter(col("cell").isin(probes.toSeq: _*)),
-      idCol, "codes", query, cbs, k)
+      .take(math.max(1, nprobe)).map(_._1).toSeq
   }
 
   private def normalized(v: Array[Double]): Array[Double] = {

@@ -239,6 +239,33 @@ class ConstitutionSpec extends SparkTestBase {
     hl.foreach(r => assert(r.getAs[String]("hl").toLowerCase.contains("<b>right</b>")))
   }
 
+  test("bestPassages: density selection, earliest-tie, tag-stripped-highlight parity") {
+    assumeFixture()
+    import graft.analysis.Analyzers
+    val text = "No right here at all. right and right again, right! just one right. nothing."
+    // densest passage wins (3 hits beats 1 and 1)
+    val best = graft.exec.Highlighter.bestPassages(Analyzers.standard, Set("right"), text)
+    assert(best === Vector("right and right again, right!"))
+    // tie on hits: document order (stable sort keeps the earlier passage)
+    val tie = graft.exec.Highlighter.bestPassages(Analyzers.standard, Set("nothing", "no"), text)
+    assert(tie === Vector("No right here at all."))
+    // parity: bestPassages == highlight with the <b></b> tags stripped
+    for (mp <- 1 to 3) {
+      val hl = graft.exec.Highlighter.highlight(Analyzers.standard, Set("right"), text, mp)
+      val bp = graft.exec.Highlighter.bestPassages(Analyzers.standard, Set("right"), text, mp)
+      assert(bp.mkString("...") === hl.replace("<b>", "").replace("</b>", ""))
+    }
+    // no hits anywhere -> empty (highlight's "" contract)
+    assert(graft.exec.Highlighter.bestPassages(Analyzers.standard, Set("absent"), text).isEmpty)
+    // column surface over the searcher's analyzer
+    val q = Term("text", "right")
+    val col1 = searcher.search(q, 1, select = Seq("text"))
+      .withColumn("p", searcher.bestPassageCol(q, "text"))
+      .collect()
+    assert(col1.forall(_.getAs[String]("p").toLowerCase.contains("right")))
+    assert(col1.forall(!_.getAs[String]("p").contains("<b>")))
+  }
+
   test("leading wildcard + index-order sort (test_engine.py:104,168)") {
     assumeFixture()
     // '*hello'-style leading wildcard (allowLeadingWildcard)
