@@ -178,7 +178,7 @@ object SparkEntry {
     val planted = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val sig = planted.select(col("doc_id"),
+    val sig = graft.ops.Dedup.cpuParallel(planted).select(col("doc_id"),
       graft.ops.TextOps.shingles(col("text"), 3).as("sh"))
       .withColumn("sig", graft.ops.Dedup.minhash(col("sh"), 8))
     // keyed on the documents table's content fingerprint (never String
@@ -356,13 +356,13 @@ object SparkEntry {
           graft.ops.TextOps.tokenCount(col("content")).cast("long").as("n_tokens"))
     }),
     "q_langid" -> ((sp, dir) => {
-      searcher(sp, dir).index.docs
+      graft.ops.Dedup.cpuParallel(searcher(sp, dir).index.docs)
         .select(col("docId").as("docid"),
           graft.ops.TextOps.languageId(col("content")).as("lang_pred"))
     }),
     "q_quality" -> ((sp, dir) => {
       val q = graft.ops.TextOps.quality(col("content"))
-      searcher(sp, dir).index.docs.select(col("docId").as("docid"),
+      graft.ops.Dedup.cpuParallel(searcher(sp, dir).index.docs).select(col("docId").as("docid"),
         q.getField("n_tokens").cast("long").as("n_tokens"),
         qz(q.getField("stopword_ratio")).as("stop_q"),
         qz(q.getField("mean_token_len")).as("meanlen_q"),
@@ -372,19 +372,19 @@ object SparkEntry {
     // token fraction + top-{2,3,4}-gram char-mass fractions per doc
     "q_repetition" -> ((sp, dir) => {
       val r = graft.ops.TextOps.repetition(col("content"))
-      searcher(sp, dir).index.docs.select(col("docId").as("docid"),
+      graft.ops.Dedup.cpuParallel(searcher(sp, dir).index.docs).select(col("docId").as("docid"),
         qz(r.getField("dup_token_frac")).as("dup_q"),
         qz(r.getField("top2gram_char_frac")).as("top2_q"),
         qz(r.getField("top3gram_char_frac")).as("top3_q"),
         qz(r.getField("top4gram_char_frac")).as("top4_q"))
     }),
     "q_fingerprint" -> ((sp, dir) => {
-      searcher(sp, dir).index.docs
+      graft.ops.Dedup.cpuParallel(searcher(sp, dir).index.docs)
         .select(col("docId").as("docid"),
           graft.ops.TextOps.fingerprint(col("content"), n = 3, k = 4).as("fp"))
     }),
     "q_simhash" -> ((sp, dir) => {
-      searcher(sp, dir).index.docs
+      graft.ops.Dedup.cpuParallel(searcher(sp, dir).index.docs)
         .select(col("docId").as("docid"),
           graft.ops.Dedup.simhash(graft.ops.TextOps.tokens(col("content")), 16).as("simhash"))
     }),

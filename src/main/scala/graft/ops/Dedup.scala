@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Partition by WORK, not bytes, ahead of a CPU-heavy kernel: Spark splits
+    * file scans by `maxPartitionBytes`, which undercuts kernels whose cost
+    * scales with tokens rather than bytes (tokenize + per-window hashing
+    * costs ~2000× the scan of the same bytes) — a compact input (one small
+    * parquet file, or a heavily-compressed split) otherwise serializes the
+    * corpus's most expensive pass onto a handful of cores. When the input
+    * has fewer partitions than the session's default parallelism,
+    * repartition up to it (the shuffled payload is small by the same
+    * premise that made the partition count small); when partitions already
+    * ≥ parallelism — every real multi-file corpus — this is a NO-OP with no
+    * added exchange.
+    */
+  def cpuParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Exact-duplicate groups by content hash: (hash, cnt, ids). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(sha2(col(textCol), 256).as("content_sha"))
@@ -620,7 +637,8 @@ object Dedup {
     */
   def passageDups(df: DataFrame, idCol: String, textCol: String, window: Int = 8,
       hasher: (Column, Int) => Column = passageHashes): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(hasher(col(textCol), window)).as("h"))
+    cpuParallel(df)
+      .select(col(idCol).as("doc_id"), explode(hasher(col(textCol), window)).as("h"))
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("occurrences"))
       .filter(col("ndocs") >= 2)
@@ -651,7 +669,7 @@ object Dedup {
     */
   def passageDupLocations(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, hasher: (Column, Int) => Column = passageHashes): DataFrame = {
-    val wins = df
+    val wins = cpuParallel(df)
       .select(col(idCol).as("doc_id"),
         posexplode(hasher(col(textCol), window)).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
@@ -687,10 +705,10 @@ object Dedup {
   def contamination(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchText: String, window: Int = 8,
       hasher: (Column, Int) => Column = passageHashes): DataFrame = {
-    val benchGrams = bench
+    val benchGrams = cpuParallel(bench)
       .select(explode(hasher(col(benchText), window)).as("h"))
       .distinct()
-    corpus
+    cpuParallel(corpus)
       .select(col(corpusId).as("doc_id"),
         explode(hasher(col(corpusText), window)).as("h"))
       .join(benchGrams, "h")

@@ -366,6 +366,22 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
   }
 
+  test("cpuParallel: repartitions a narrow scan up to default parallelism, no-op otherwise") {
+    val s2 = spark
+    import s2.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = Seq.tabulate(100)(i => (i.toLong, s"text $i")).toDF("id", "t")
+      .coalesce(1)
+    assert(graft.ops.Dedup.cpuParallel(narrow).rdd.getNumPartitions === target)
+    val wide = Seq.tabulate(100)(i => (i.toLong, s"text $i")).toDF("id", "t")
+      .repartition(target + 4)
+    // already at/above parallelism: returned UNCHANGED — no extra exchange
+    assert(graft.ops.Dedup.cpuParallel(wide) eq wide)
+    // row content is preserved either way
+    assert(graft.ops.Dedup.cpuParallel(narrow).as[(Long, String)].collect().sorted
+      === Seq.tabulate(100)(i => (i.toLong, s"text $i")).sorted)
+  }
+
   test("decontamination: window overlap vs a benchmark set — exact counts, drop form, xx/md5 parity") {
     val s2 = spark
     import s2.implicits._
