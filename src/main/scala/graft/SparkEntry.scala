@@ -321,6 +321,28 @@ object SparkEntry {
           sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", window = 8)
         .select(col("doc_id"), col("start").cast("long").as("win_start"), col("h"))
     }),
+    // C4 line/page cleaning (Raffel et al. 2020 §2.2): the corpus rows are
+    // single terminator-free lines, so the contract builds 5-line pages
+    // with deterministic markers — odd doc_ids end in '.', every 17th line
+    // gains 'lorem ipsum', every 23rd a '{' — making all four filters bite
+    "q_c4_filters" -> ((sp, dir) => {
+      val line = concat(col("text"),
+        when(col("doc_id") % 17 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit(" {")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 1, lit(".")).otherwise(lit("")))
+      val pages = sp.read.parquet(s"$dir/documents.parquet")
+        .select(floor(col("doc_id") / 5).cast("long").as("grp"),
+          struct(col("doc_id"), line.as("line")).as("s"))
+        .groupBy("grp")
+        .agg(array_join(transform(array_sort(collect_list(col("s"))),
+          x => x.getField("line")), "\n").as("page"))
+      val c = graft.ops.TextOps.c4Lines(col("page"), minWordsPerLine = 40, minLines = 2)
+      pages.select(col("grp"),
+        c.getField("kept").cast("long").as("kept"),
+        c.getField("dropped").cast("long").as("dropped"),
+        c.getField("keep_page").as("keep_page"),
+        c.getField("clean").as("clean"))
+    }),
     // HIGHLIGHT passage selection (UnifiedHighlighter density policy): the
     // corpus rows are terminator-free single passages, so the contract
     // joins 5 docs with ". " into multi-passage texts — selection has to
@@ -834,6 +856,31 @@ object SparkEntry {
         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
         |)
         |SELECT doc_id, win_start, h FROM wins JOIN dup USING (h)""".stripMargin,
+    "q_c4_filters" ->
+      """WITH lines AS (
+        |  SELECT CAST(floor(doc_id / 5) AS BIGINT) AS grp, doc_id,
+        |         text || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END
+        |              || CASE WHEN doc_id % 23 = 0 THEN ' {' ELSE '' END
+        |              || CASE WHEN doc_id % 2 = 1 THEN '.' ELSE '' END AS line
+        |  FROM documents
+        |), scoredl AS (
+        |  SELECT grp, doc_id, line,
+        |         (trim(line) <> '' AND right(trim(line), 1) IN ('.', '!', '?', '"')
+        |          AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 40) AS keep
+        |  FROM lines
+        |), agg AS (
+        |  SELECT grp,
+        |         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
+        |         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped,
+        |         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY doc_id) AS clean,
+        |         bool_or(contains(lower(line), 'lorem ipsum')) AS lorem,
+        |         bool_or(contains(line, '{')) AS brace
+        |  FROM scoredl GROUP BY 1
+        |)
+        |SELECT grp, kept, dropped,
+        |       (kept >= 2 AND NOT lorem AND NOT brace) AS keep_page,
+        |       coalesce(clean, '') AS clean
+        |FROM agg""".stripMargin,
     "q_highlight" ->
       """WITH g AS (
         |  SELECT CAST(floor(doc_id / 5) AS BIGINT) AS grp,

@@ -95,6 +95,57 @@ object TextOps {
       alphaRatio.as("alpha_ratio"))
   }
 
+  /** C4 line/page cleaning (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", JMLR 2020,
+    * §2.2 — the public filter set): keep lines whose stripped form ends in
+    * terminal punctuation (one of `.` `!` `?` `"`) and carries at least
+    * `minWordsPerLine` whitespace-separated words; a page SURVIVES when it
+    * keeps at least `minLines` lines and contains neither the phrase
+    * "lorem ipsum" (case-insensitive) nor a curly brace (the paper's
+    * boilerplate/code tells). Returns
+    * struct(clean, kept, dropped, keep_page) where `clean` is the kept
+    * lines re-joined by newline — the downstream training-pipeline input.
+    *
+    * One compiled pass per doc (the interpreted aggregate-HOF fold measured
+    * 10×+ slower on q_langid — BASELINE round 2); pair with
+    * [[graft.ops.Dedup.cpuParallel]] when the source scan is narrow.
+    */
+  def c4Lines(text: Column, minWordsPerLine: Int = 5, minLines: Int = 3): Column = {
+    val mw = minWordsPerLine
+    val ml = minLines
+    val f = udf((t: String) => {
+      if (t == null) null
+      else {
+        val lines = t.split("\n", -1)
+        val kept = lines.filter { l =>
+          val s = l.strip
+          s.nonEmpty && ".!?\"".indexOf(s.charAt(s.length - 1)) >= 0 && {
+            var words = 0
+            var inWord = false
+            var i = 0
+            while (i < s.length) {
+              val w = !Character.isWhitespace(s.charAt(i))
+              if (w && !inWord) words += 1
+              inWord = w
+              i += 1
+            }
+            words >= mw
+          }
+        }
+        val keepPage = kept.length >= ml &&
+          !t.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum") &&
+          t.indexOf('{') < 0
+        (kept.mkString("\n"), kept.length, lines.length - kept.length, keepPage)
+      }
+    })
+    val a = f(text)
+    struct(
+      a.getField("_1").as("clean"),
+      a.getField("_2").as("kept"),
+      a.getField("_3").as("dropped"),
+      a.getField("_4").as("keep_page"))
+  }
+
   /** Repetition metrics — the Gopher quality-filter family (Rae et al.,
     * "Scaling Language Models: Methods, Analysis & Insights from Training
     * Gopher", 2021, App. A1.1): documents dominated by repeated content are

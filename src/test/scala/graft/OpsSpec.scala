@@ -366,6 +366,39 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
   }
 
+  test("c4 line/page cleaning (Raffel et al. 2020 §2.2) — hand-computed edges") {
+    val s2 = spark
+    import s2.implicits._
+    val page = Seq(
+      "one two three four five.",     // kept: 5 words, terminal '.'
+      "short line.",                   // dropped: 2 words
+      "no terminal punctuation here at all",  // dropped: no terminator
+      "he said \"quoted ending counts fine\"", // kept: ends in '"'
+      "   spaced out words everywhere really!   ", // kept after strip: '!'
+      "",                              // dropped: empty
+      "does a question mark pass too?" // kept: '?'
+    ).mkString("\n")
+    val df = Seq((1L, page)).toDF("id", "t")
+    val c = graft.ops.TextOps.c4Lines(col("t"), minWordsPerLine = 5, minLines = 3)
+    val r = df.select(c.getField("kept"), c.getField("dropped"),
+      c.getField("keep_page"), c.getField("clean")).head()
+    assert((r.getInt(0), r.getInt(1), r.getBoolean(2)) === ((4, 3, true)))
+    // clean preserves original (unstripped) lines in order
+    assert(r.getString(3).split("\n").length === 4)
+    assert(r.getString(3).contains("   spaced out words everywhere really!   "))
+    // page poisons: lorem ipsum (case-insensitive) and a curly brace
+    val lorem = Seq((1L, page + "\nLoReM IpSuM filler text here now.")).toDF("id", "t")
+    assert(!lorem.select(graft.ops.TextOps.c4Lines(col("t"), 5, 3)
+      .getField("keep_page")).head().getBoolean(0))
+    val brace = Seq((1L, page + "\nfunction f() { return one two three. }")).toDF("id", "t")
+    assert(!brace.select(graft.ops.TextOps.c4Lines(col("t"), 5, 3)
+      .getField("keep_page")).head().getBoolean(0))
+    // minLines gate: same page needs 5 kept lines -> page dropped, lines kept
+    val strict = df.select(graft.ops.TextOps.c4Lines(col("t"), 5, 5)
+      .getField("keep_page")).head().getBoolean(0)
+    assert(!strict)
+  }
+
   test("cpuParallel: repartitions a narrow scan up to default parallelism, no-op otherwise") {
     val s2 = spark
     import s2.implicits._
