@@ -10,6 +10,8 @@ package graft.ops
   *  - BMP: uncompressed 24-bit bottom-up Windows bitmap (BITMAPINFOHEADER),
   *    BGR rows padded to 4 bytes, decoded to luma.
   *  - WAV: RIFF PCM 16-bit, channels averaged to mono.
+  *  - Y4M (YUV4MPEG2): uncompressed planar video, luma planes extracted —
+  *    the one VIDEO container that needs no codec.
   *
   * These give [[Multimodal]] a REAL decode boundary for the formats that are
   * self-describing; compressed formats (jpeg/png/mp4) remain represented by
@@ -213,6 +215,90 @@ object MediaCodecs {
     while (i < samples.length) {
       putLe16(44 + i * 2, samples(i) & 0xffff)
       i += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------------------- Y4M
+
+  /** YUV4MPEG2 (the mjpegtools interchange format — uncompressed planar
+    * video, the one video container that needs no codec): stream header
+    * `YUV4MPEG2 W<w> H<h> ...[ C<cs>]\n`, then per frame `FRAME...\n`
+    * followed by raw planes. Luma plane is w·h bytes; chroma size follows
+    * the C tag (default C420: two (w/2)·(h/2) planes; C422: two (w/2)·h;
+    * C444: two w·h; Cmono: none). Decoded to the LUMA planes only — the
+    * same grayscale normalization the image codecs apply.
+    * Returns (width, height, yPlanes). None on any malformed structure.
+    */
+  def decodeY4m(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    val magic = "YUV4MPEG2"
+    if (b == null || b.length < magic.length + 1) return None
+    var i = 0
+    while (i < magic.length) {
+      if (b(i) != magic.charAt(i)) return None
+      i += 1
+    }
+    var nl = magic.length
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    if (nl >= b.length) return None
+    val header = new String(b, 0, nl, "US-ASCII")
+    var w = -1
+    var h = -1
+    var cs = "C420"
+    header.split(' ').drop(1).foreach { tag =>
+      if (tag.nonEmpty) tag.charAt(0) match {
+        case 'W' => w = tag.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = tag.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => cs = tag
+        case _   => // F/I/A/X tags don't affect plane layout
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val chroma =
+      if (cs.startsWith("C420")) 2 * ((w / 2) * (h / 2))
+      else if (cs.startsWith("C422")) 2 * ((w / 2) * h)
+      else if (cs.startsWith("C444")) 2 * (w * h)
+      else if (cs == "Cmono") 0
+      else return None
+    val ySize = w * h
+    val frames = Seq.newBuilder[Array[Byte]]
+    var at = nl + 1
+    while (at < b.length) {
+      // frame marker: "FRAME" + optional parameters, '\n'-terminated
+      if (at + 5 > b.length || new String(b, at, 5, "US-ASCII") != "FRAME") return None
+      var fe = at + 5
+      while (fe < b.length && b(fe) != '\n') fe += 1
+      if (fe >= b.length || fe + 1 + ySize + chroma > b.length) return None
+      val y = new Array[Byte](ySize)
+      System.arraycopy(b, fe + 1, y, 0, ySize)
+      frames += y
+      at = fe + 1 + ySize + chroma
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((w, h, fs))
+  }
+
+  /** Y4M encoder (test/data-gen side): luma planes in, `Cmono` or a
+    * chroma-carrying colourspace out (chroma planes filled neutral 128).
+    */
+  def encodeY4m(w: Int, h: Int, yPlanes: Seq[Array[Byte]],
+      colourspace: String = "Cmono"): Array[Byte] = {
+    require(yPlanes.forall(_.length == w * h), "luma plane size mismatch")
+    val chroma =
+      if (colourspace.startsWith("C420")) 2 * ((w / 2) * (h / 2))
+      else if (colourspace.startsWith("C422")) 2 * ((w / 2) * h)
+      else if (colourspace.startsWith("C444")) 2 * (w * h)
+      else 0
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $colourspace\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length +
+      yPlanes.length * (marker.length + w * h + chroma))
+    header.copyToArray(out, 0)
+    var at = header.length
+    yPlanes.foreach { y =>
+      marker.copyToArray(out, at); at += marker.length
+      y.copyToArray(out, at); at += y.length
+      java.util.Arrays.fill(out, at, at + chroma, 128.toByte); at += chroma
     }
     out
   }

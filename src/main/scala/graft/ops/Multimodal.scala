@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of `mapInPandas`).
   *
   * The decode boundary is REAL for the self-describing formats
-  * [[MediaCodecs]] implements from their public specs — PGM/PPM/BMP images
-  * and WAV-PCM16 audio — via [[normalize]], which decodes any supported
-  * container into the internal `GFT0` tensor container that resize /
-  * frame-sample / embed operate on. Compressed formats (jpeg/png/mp4-class)
-  * have no codecs in this environment by declared design; they are
-  * represented by the deterministic GFT0 fake, so that plumbing (schema,
-  * binary handling, batched UDFs, frame explode, embedding hand-off to
-  * [[Ann]]) stays fully exercised.
+  * [[MediaCodecs]] implements from their public specs — PGM/PPM/BMP images,
+  * WAV-PCM16 audio, and Y4M (YUV4MPEG2) uncompressed video — via
+  * [[normalize]], which decodes any supported container into the internal
+  * `GFT0` tensor container that resize / frame-sample / embed operate on.
+  * Compressed formats (jpeg/png/mp4-class) have no codecs in this
+  * environment by declared design; they are represented by the
+  * deterministic GFT0 fake, so that plumbing (schema, binary handling,
+  * batched UDFs, frame explode, embedding hand-off to [[Ann]]) stays fully
+  * exercised.
   */
 object Multimodal {
 
@@ -61,13 +62,22 @@ object Multimodal {
 
   /** Decode ANY supported container into the internal GFT0 tensor container
     * (the uniform representation downstream resize/sample/embed operate on):
-    * REAL codecs for PGM/PPM/BMP images and WAV-PCM16 audio (width = sample
-    * count, height = 1, 8-bit downsample); GFT0 passes through unchanged;
-    * unrecognized bytes (jpeg/png/mp4-class) → null, filterable upstream.
+    * REAL codecs for PGM/PPM/BMP images, WAV-PCM16 audio (width = sample
+    * count, height = 1, 8-bit downsample), and Y4M uncompressed video
+    * (luma planes → frames); GFT0 passes through unchanged; unrecognized
+    * bytes (jpeg/png/mp4-class) → null, filterable upstream.
     */
   def normalize(blob: Array[Byte]): Array[Byte] = {
     if (blob == null) return null
     if (parseHeader(blob).isDefined) return blob
+    MediaCodecs.decodeY4m(blob) match {
+      case Some((w, h, yPlanes)) => // real VIDEO decode (uncompressed Y4M)
+        val out = ByteBuffer.allocate(20 + yPlanes.length * w * h)
+        out.putInt(Magic).putInt(modCode("video")).putInt(w).putInt(h).putInt(yPlanes.length)
+        yPlanes.foreach(out.put)
+        return out.array()
+      case None =>
+    }
     MediaCodecs.decodePgm(blob)
       .orElse(MediaCodecs.decodePpm(blob))
       .orElse(MediaCodecs.decodeBmp(blob)) match {

@@ -150,6 +150,36 @@ class MultimodalSpec extends SparkTestBase {
     b(at + 2) = ((v >> 16) & 0xff).toByte; b(at + 3) = ((v >> 24) & 0xff).toByte
   }
 
+  test("Y4M codec: real uncompressed video decodes, samples, and resizes end-to-end") {
+    // 3 frames of 4x2 luma with distinct per-frame content
+    val frames = Seq.tabulate(3)(f => Array.tabulate(8)(i => (f * 50 + i).toByte))
+    // Cmono (no chroma) and C420 (chroma skipped) must yield identical luma
+    for (cs <- Seq("Cmono", "C420jpeg", "C422", "C444")) {
+      val y4m = MediaCodecs.encodeY4m(4, 2, frames, cs)
+      val Some((w, h, ys)) = MediaCodecs.decodeY4m(y4m)
+      assert((w, h, ys.length) === ((4, 2, 3)), s"colourspace $cs")
+      assert(ys.zip(frames).forall { case (a, b) => a.sameElements(b) }, s"colourspace $cs")
+    }
+    // flows through normalize as a real VIDEO container
+    val blob = Multimodal.normalize(MediaCodecs.encodeY4m(4, 2, frames, "C420jpeg"))
+    assert(Multimodal.parseHeader(blob) ===
+      Some(Multimodal.MediaMeta("video", 4, 2, 3, 24)))
+    // frame sampling over REAL video: stride 2 keeps frames 0 and 2
+    val sampled = Multimodal.sampleFrames(blob, 2)
+    assert(sampled.length === 2)
+    assert(sampled.forall(s => Multimodal.parseHeader(s).exists(m => m.frames == 1)))
+    assert(sampled(1).drop(20).sameElements(frames(2)))
+    // resize halves width on every frame
+    val rz = Multimodal.resize(blob, 2, 2)
+    assert(Multimodal.parseHeader(rz) === Some(Multimodal.MediaMeta("video", 2, 2, 3, 12)))
+    // malformed: truncated payload, bad magic, unknown colourspace -> None/null
+    val good = MediaCodecs.encodeY4m(4, 2, frames, "Cmono")
+    assert(MediaCodecs.decodeY4m(good.dropRight(3)) === None)
+    assert(MediaCodecs.decodeY4m("YUV4MPEG3 W4 H2\nFRAME\n".getBytes) === None)
+    assert(MediaCodecs.decodeY4m("YUV4MPEG2 W4 H2 C310\nFRAME\n".getBytes) === None)
+    assert(Multimodal.normalize(good.dropRight(3)) === null)
+  }
+
   test("stub embeddings feed the ANN operators") {
     val emb = media.select(col("id"), Multimodal.embedCol("blob", 8).as("embedding"))
     val q = Multimodal.embed(Multimodal.encodeFake("image", 16, 8, 1, seed = 1L), 8).toSeq
