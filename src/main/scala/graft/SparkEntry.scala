@@ -306,6 +306,23 @@ object SparkEntry {
       graft.ops.Dedup.connectedComponents(edges, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
     }),
+    // near-dup REMOVAL (the apply step): same planted corpus/edges as
+    // q_dedup_clusters; keep each component's min id + every unclustered doc
+    "q_dedup_apply" -> ((sp, dir) => {
+      val docs = sp.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val keyed = planted.withColumn("h", md5(col("text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("doc_id")
+      val edges = keyed.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      graft.ops.Dedup.dropNearDuplicates(planted, "doc_id", edges)
+        .select(col("doc_id"))
+    }),
     // PASSAGE-level dedup (Lee et al., ACL 2022): repeated 8-token windows
     // across distinct docs — boilerplate shared between otherwise-unique
     // documents that doc-level minhash/simhash structurally miss
@@ -320,6 +337,14 @@ object SparkEntry {
       graft.ops.Dedup.passageDupLocations(
           sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", window = 8)
         .select(col("doc_id"), col("start").cast("long").as("win_start"), col("h"))
+    }),
+    // the EXCISION itself: flagged windows removed, text rebuilt in the
+    // pipeline's canonical (lowercased space-joined token) form
+    "q_passage_excise" -> ((sp, dir) => {
+      val docs = sp.read.parquet(s"$dir/documents.parquet")
+      val locs = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", window = 8)
+      graft.ops.Dedup.excisePassages(docs, "doc_id", "text", locs, window = 8)
+        .select(col("doc_id"), col("clean"), col("removed").cast("long").as("removed"))
     }),
     // C4 line/page cleaning (Raffel et al. 2020 §2.2): the corpus rows are
     // single terminator-free lines, so the contract builds 5-line pages
@@ -831,6 +856,28 @@ object SparkEntry {
         |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
         |)
         |SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1""".stripMargin,
+    "q_dedup_apply" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 15
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 15
+        |), keyed AS (
+        |  SELECT doc_id, md5(text) AS h FROM planted
+        |), lagged AS (
+        |  SELECT lag(doc_id) OVER (PARTITION BY h ORDER BY doc_id) AS a, doc_id AS b FROM keyed
+        |), e AS (
+        |  SELECT a, b FROM lagged WHERE a IS NOT NULL
+        |), sym AS (
+        |  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+        |), reach(id, comp) AS (
+        |  SELECT DISTINCT a AS id, a AS comp FROM sym
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+        |), comps AS (
+        |  SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1
+        |)
+        |SELECT p.doc_id FROM planted p LEFT JOIN comps c USING (doc_id)
+        |WHERE c.doc_id IS NULL OR c.component = p.doc_id""".stripMargin,
     "q_passage_dups" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -856,6 +903,30 @@ object SparkEntry {
         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
         |)
         |SELECT doc_id, win_start, h FROM wins JOIN dup USING (h)""".stripMargin,
+    "q_passage_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, i, md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) _l
+        |  WHERE len(ts) >= 8
+        |), dup AS (
+        |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), flags AS (
+        |  SELECT DISTINCT w.doc_id, f.pos
+        |  FROM wins w JOIN dup USING (h),
+        |       LATERAL (SELECT unnest(generate_series(w.i, w.i + 7)) AS pos) f
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS p FROM toks
+        |), kept AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS clean
+        |  FROM tokpos t ANTI JOIN flags f ON t.doc_id = f.doc_id AND t.p = f.pos
+        |  GROUP BY 1
+        |), rem AS (SELECT doc_id, count(*) AS removed FROM flags GROUP BY 1)
+        |SELECT d.doc_id, coalesce(k.clean, '') AS clean, coalesce(r.removed, 0) AS removed
+        |FROM toks d LEFT JOIN kept k USING (doc_id) LEFT JOIN rem r USING (doc_id)""".stripMargin,
     "q_c4_filters" ->
       """WITH lines AS (
         |  SELECT CAST(floor(doc_id / 5) AS BIGINT) AS grp, doc_id,

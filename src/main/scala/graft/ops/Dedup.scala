@@ -681,6 +681,67 @@ object Dedup {
     wins.join(dups, "h").select("doc_id", "start", "h")
   }
 
+  /** Apply the excision (Lee et al. §3 — the step [[passageDupLocations]]
+    * exists to feed): remove every token covered by a flagged window
+    * [start, start+window) (1-based starts, overlaps union) and rebuild the
+    * doc as lowercased tokens joined by single spaces — the pipeline's
+    * canonical text form under the SAME tokenization as [[passageHashes]].
+    * Docs with no flagged windows pass through in canonical form with
+    * `removed` = 0. Returns (doc_id, clean, removed).
+    *
+    * Shape: locations aggregate to one per-doc start list (bounded by the
+    * doc's own token count — the same order as the text it annotates), then
+    * ONE equi-join back to the corpus and a single compiled rebuild pass;
+    * never an all-pairs product, no driver-side state.
+    */
+  def excisePassages(df: DataFrame, idCol: String, textCol: String,
+      locations: DataFrame, window: Int = 8): DataFrame = {
+    val w = window
+    val locs = locations.groupBy(col("doc_id"))
+      .agg(collect_list(col("start").cast("int")).as("__starts"))
+    val rebuild = udf((t: String, starts: Seq[Int]) => {
+      val toks = t.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (starts == null || starts.isEmpty) (toks.mkString(" "), 0)
+      else {
+        val cut = new Array[Boolean](toks.length)
+        starts.foreach { s =>
+          var i = math.max(s - 1, 0)
+          val end = math.min(s - 1 + w, toks.length)
+          while (i < end) { cut(i) = true; i += 1 }
+        }
+        val kept = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var i = 0
+        var removed = 0
+        while (i < toks.length) {
+          if (cut(i)) removed += 1 else kept += toks(i)
+          i += 1
+        }
+        (kept.mkString(" "), removed)
+      }
+    })
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(locs, Seq("doc_id"), "left")
+      .select(col("doc_id"), rebuild(col("__text"), col("__starts")).as("__r"))
+      .select(col("doc_id"), col("__r._1").as("clean"), col("__r._2").as("removed"))
+  }
+
+  /** Keep ONE representative per near-dup cluster — the removal step a
+    * pipeline runs after candidate verification: cluster the verified
+    * pairs ([[connectedComponents]]), keep each component's minimum id
+    * (the canonical representative) plus every unclustered doc; the drop
+    * set is exactly {id : component(id) ≠ id}, applied as a left-anti
+    * equi-join (ids-only — no text moves). All columns of `df` pass
+    * through.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__dup_id"))
+    df.join(drop, df(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Benchmark decontamination scoring (Brown et al., "Language Models are
     * Few-Shot Learners", NeurIPS 2020, Appendix C; the Dolma/“what's in my
     * big data” contamination check): score each corpus document by its

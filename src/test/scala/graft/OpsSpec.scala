@@ -366,6 +366,45 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
   }
 
+  test("passage excision: flagged windows removed at exact offsets, canonical rebuild") {
+    val s2 = spark
+    import s2.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),          // passage at tokens 3..12
+      (2L, s"unrelated words here $shared tail"), // passage at tokens 4..13
+      (3L, "totally different text with no overlap at all whatsoever friend")
+    ).toDF("doc_id", "text")
+    val locs = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", window = 8)
+    val got = graft.ops.Dedup.excisePassages(docs, "doc_id", "text", locs, window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // union of the 3 overlapping flagged windows = exactly the 10 shared
+    // tokens; surrounding context survives in canonical lowercase form
+    assert(got(1L) === (("alpha beta gamma", 10)))
+    assert(got(2L) === (("unrelated words here tail", 10)))
+    // untouched doc passes through canonicalized with removed = 0
+    assert(got(3L) ===
+      (("totally different text with no overlap at all whatsoever friend", 0)))
+    // empty locations table: everything passes through, removed = 0
+    val none = graft.ops.Dedup.excisePassages(docs, "doc_id", "text",
+      locs.filter(lit(false)), window = 8)
+    assert(none.filter(col("removed") =!= 0).count() === 0L)
+  }
+
+  test("near-dup removal keeps one representative per cluster plus all unclustered docs") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq.tabulate(8)(i => (i.toLong, s"doc number $i")).toDF("id", "t")
+    // clusters {0,1,2} (a chain, needs transitivity) and {5,6}; 3,4,7 free
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Dedup.dropNearDuplicates(docs, "id", pairs)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 3L, 4L, 5L, 7L))
+    // all original columns pass through
+    assert(graft.ops.Dedup.dropNearDuplicates(docs, "id", pairs).columns.toSeq
+      === Seq("id", "t"))
+  }
+
   test("c4 line/page cleaning (Raffel et al. 2020 §2.2) — hand-computed edges") {
     val s2 = spark
     import s2.implicits._
