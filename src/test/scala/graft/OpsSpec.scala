@@ -366,6 +366,46 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
   }
 
+  test("property: excision leaves NO cross-doc duplicated window behind; decontaminate output is clean") {
+    val s2 = spark
+    import s2.implicits._
+    // deterministic pseudo-random corpus with heavy planted overlap: docs
+    // share 12-token runs drawn from a tiny phrase pool, so flagged windows
+    // overlap and chain — the union-removal edge excision must get right
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    val phrases = Vector.tabulate(4)(p =>
+      Vector.tabulate(12)(i => pool(rnd.nextInt(pool.size)) + (p * 7 + i) % 5))
+    val docs = Seq.tabulate(40) { d =>
+      val parts = Vector.fill(3)(
+        if (rnd.nextBoolean()) phrases(rnd.nextInt(phrases.size)).mkString(" ")
+        else Vector.fill(10)(pool(rnd.nextInt(pool.size))).mkString(" "))
+      (d.toLong, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = 8
+    val locs = Dedup.passageDupLocations(docs, "doc_id", "text", window = w)
+    val cleaned = Dedup.excisePassages(docs, "doc_id", "text", locs, window = w)
+    // invariant: re-running detection on the excised corpus finds nothing
+    // (every cross-doc duplicated window was removed on all its occurrences)
+    val residue = Dedup.passageDups(
+      cleaned.select(col("doc_id"), col("clean").as("text")), "doc_id", "text", window = w)
+    assert(residue.count() === 0L, "excised corpus still has cross-doc duplicate windows")
+    // removed counts are consistent with the flagged positions
+    val flagged = locs.select(col("doc_id"), explode(sequence(col("start"),
+      col("start") + lit(w - 1))).as("p")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val mism = cleaned.join(flagged, Seq("doc_id"), "left")
+      .filter(coalesce(col("n"), lit(0L)) =!= col("removed").cast("long"))
+    assert(mism.count() === 0L)
+    // decontaminate invariant: the kept corpus shares no window with bench
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val keptCorpus = Dedup.decontaminate(docs.filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", bench, "text", window = w)
+    assert(Dedup.contamination(keptCorpus, "doc_id", "text", bench, "text", window = w)
+      .count() === 0L)
+  }
+
   test("passage excision: flagged windows removed at exact offsets, canonical rebuild") {
     val s2 = spark
     import s2.implicits._
