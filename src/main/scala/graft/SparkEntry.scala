@@ -346,6 +346,28 @@ object SparkEntry {
       graft.ops.Dedup.excisePassages(docs, "doc_id", "text", locs, window = 8)
         .select(col("doc_id"), col("clean"), col("removed").cast("long").as("removed"))
     }),
+    // PII redaction: the corpus carries no PII, so the contract injects
+    // deterministic email/IP/phone suffixes on modular doc_id slices —
+    // including a doc_id%13∧%11 overlap where the email's host would also
+    // parse as an IPv4 (the count-on-redacted-text order rule)
+    "q_redact_pii" -> ((sp, dir) => {
+      val withPii = sp.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" reach me at user"), col("doc_id"), lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" server 10.0."), col("doc_id") % 256, lit(".7 up")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 19 === 0,
+            concat(lit(" call +1 555-01"), col("doc_id") % 100, lit(" now")))
+            .otherwise(lit(""))).as("t"))
+      val r = graft.ops.TextOps.redactPii(col("t"))
+      withPii.select(col("doc_id"), r.getField("clean").as("clean"),
+        r.getField("n_emails").cast("long").as("n_emails"),
+        r.getField("n_ips").cast("long").as("n_ips"),
+        r.getField("n_phones").cast("long").as("n_phones"))
+    }),
     // C4 line/page cleaning (Raffel et al. 2020 §2.2): the corpus rows are
     // single terminator-free lines, so the contract builds 5-line pages
     // with deterministic markers — odd doc_ids end in '.', every 17th line
@@ -927,6 +949,28 @@ object SparkEntry {
         |), rem AS (SELECT doc_id, count(*) AS removed FROM flags GROUP BY 1)
         |SELECT d.doc_id, coalesce(k.clean, '') AS clean, coalesce(r.removed, 0) AS removed
         |FROM toks d LEFT JOIN kept k USING (doc_id) LEFT JOIN rem r USING (doc_id)""".stripMargin,
+    "q_redact_pii" ->
+      """WITH withpii AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' reach me at user' || doc_id || '@mail.example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' server 10.0.' || (doc_id % 256) || '.7 up' ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0 THEN ' call +1 555-01' || (doc_id % 100) || ' now' ELSE '' END AS t
+        |  FROM documents
+        |), staged AS (
+        |  SELECT doc_id, t,
+        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM withpii
+        |), staged2 AS (
+        |  SELECT doc_id, t, t1,
+        |         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM staged
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(t2, '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean,
+        |       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |       len(regexp_extract_all(t2, '\+\d[\d\- ]{7,}\d')) AS n_phones
+        |FROM staged2""".stripMargin,
     "q_c4_filters" ->
       """WITH lines AS (
         |  SELECT CAST(floor(doc_id / 5) AS BIGINT) AS grp, doc_id,

@@ -95,6 +95,31 @@ object TextOps {
       alphaRatio.as("alpha_ratio"))
   }
 
+  /** PII redaction — the standard pre-training scrub (the BigScience ROOTS /
+    * Dolma shape): emails, IPv4 addresses, and +-prefixed phone numbers are
+    * replaced by fixed placeholder tokens, with per-category match counts.
+    * Patterns are deliberately RE2-compatible (no lookarounds, no
+    * backreferences) so a SQL oracle can run the IDENTICAL regexes; the
+    * category order is fixed (emails → IPs → phones) and each count is
+    * taken on the PREVIOUS category's redacted text, since an email's host
+    * part can itself parse as an IPv4 (`a@1.2.3.4.com`). Everything is
+    * native `regexp_replace`/`regexp_extract_all` — codegen'd, no UDF.
+    * Returns struct(clean, n_emails, n_ips, n_phones).
+    */
+  def redactPii(text: Column): Column = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
+    val afterEmail = regexp_replace(text, lit(emailRe), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(ipRe), lit("<IP>"))
+    val clean = regexp_replace(afterIp, lit(phoneRe), lit("<PHONE>"))
+    struct(
+      clean.as("clean"),
+      size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(ipRe), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))).as("n_phones"))
+  }
+
   /** C4 line/page cleaning (Raffel et al., "Exploring the Limits of
     * Transfer Learning with a Unified Text-to-Text Transformer", JMLR 2020,
     * §2.2 — the public filter set): keep lines whose stripped form ends in

@@ -366,6 +366,29 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
   }
 
+  test("PII redaction: emails/IPs/phones replaced and counted, order semantics pinned") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+tag@corp.example.org and carol@site.io now"),
+      (2L, "hosts 192.168.1.10 and 10.0.0.7 up"),
+      (3L, "call +1 555-0123 456 or +44 20-7946-0958 ok"),
+      (4L, "mixed a@1.2.3.4.com then 8.8.8.8 then +7 999-123-4567 end"),
+      (5L, "clean text with no personal identifiers at all")
+    ).toDF("id", "t")
+    val r = graft.ops.TextOps.redactPii(col("t"))
+    val got = df.select(col("id"), r.getField("clean"), r.getField("n_emails"),
+        r.getField("n_ips"), r.getField("n_phones"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2), x.getInt(3), x.getInt(4)))).toMap
+    assert(got(1L) === (("mail <EMAIL> and <EMAIL> now", 2, 0, 0)))
+    assert(got(2L) === (("hosts <IP> and <IP> up", 0, 2, 0)))
+    assert(got(3L) === (("call <PHONE> or <PHONE> ok", 0, 0, 2)))
+    // the order rule: the email's host part (1.2.3.4.com) would parse as an
+    // IPv4 — emails redact FIRST, so it counts as 1 email + 1 ip, not 2 ips
+    assert(got(4L) === (("mixed <EMAIL> then <IP> then <PHONE> end", 1, 1, 1)))
+    assert(got(5L) === (("clean text with no personal identifiers at all", 0, 0, 0)))
+  }
+
   test("property: excision leaves NO cross-doc duplicated window behind; decontaminate output is clean") {
     val s2 = spark
     import s2.implicits._
