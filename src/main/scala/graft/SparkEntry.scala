@@ -346,6 +346,16 @@ object SparkEntry {
       graft.ops.Dedup.excisePassages(docs, "doc_id", "text", locs, window = 8)
         .select(col("doc_id"), col("clean"), col("removed").cast("long").as("removed"))
     }),
+    // deterministic hash sampling: membership is a pure function of the
+    // row id (md5 < fraction-threshold), so subsets reproduce and NEST
+    // across engines/partitionings; stratified by lang (de at 60%,
+    // fr at 0%, everything else 25%)
+    "q_sample" -> ((sp, dir) => {
+      graft.ops.Sampling.sampleByHashStratified(
+          sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
+          Map("de" -> 0.6, "fr" -> 0.0), default = 0.25)
+        .select(col("doc_id"), col("lang"))
+    }),
     // PII redaction: the corpus carries no PII, so the contract injects
     // deterministic email/IP/phone suffixes on modular doc_id slices —
     // including a doc_id%13∧%11 overlap where the email's host would also
@@ -949,6 +959,18 @@ object SparkEntry {
         |), rem AS (SELECT doc_id, count(*) AS removed FROM flags GROUP BY 1)
         |SELECT d.doc_id, coalesce(k.clean, '') AS clean, coalesce(r.removed, 0) AS removed
         |FROM toks d LEFT JOIN kept k USING (doc_id) LEFT JOIN rem r USING (doc_id)""".stripMargin,
+    "q_sample" -> {
+      // thresholds interpolated from the SAME helper the Spark plan uses —
+      // the oracle must compare against identical literals, not re-derive
+      // them through its own float semantics
+      val de = graft.ops.Sampling.hexThreshold(0.6)
+      val fr = graft.ops.Sampling.hexThreshold(0.0)
+      val other = graft.ops.Sampling.hexThreshold(0.25)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CASE WHEN lang = 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '$de'
+         |           WHEN lang = 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '$fr'
+         |           ELSE md5(CAST(doc_id AS VARCHAR)) < '$other' END""".stripMargin
+    },
     "q_redact_pii" ->
       """WITH withpii AS (
         |  SELECT doc_id, text

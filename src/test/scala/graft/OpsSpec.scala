@@ -366,6 +366,35 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
   }
 
+  test("hash sampling: deterministic, partitioning-invariant, nesting subsets, stratified") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq.tabulate(2000)(i => (i.toLong, if (i % 3 == 0) "de" else "en"))
+      .toDF("id", "lang")
+    val s20 = graft.ops.Sampling.sampleByHash(df, "id", 0.2).select("id").as[Long].collect().toSet
+    // deterministic across runs AND partitionings
+    val again = graft.ops.Sampling.sampleByHash(df.repartition(7), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(s20 === again)
+    // fraction lands near target (md5 uniformity; 2000 rows, ±4 sigma)
+    assert(math.abs(s20.size - 400) < 72, s"20% of 2000 drew ${s20.size}")
+    // NESTING: the 10% sample is a strict subset of the 20% sample
+    val s10 = graft.ops.Sampling.sampleByHash(df, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20) && s10.size < s20.size)
+    // edges: 0 keeps nothing, 1 keeps everything
+    assert(graft.ops.Sampling.sampleByHash(df, "id", 0.0).count() === 0L)
+    assert(graft.ops.Sampling.sampleByHash(df, "id", 1.0).count() === 2000L)
+    // stratified: de at 100%, en at 0 — exactly the de rows survive
+    val strat = graft.ops.Sampling.sampleByHashStratified(df, "id", "lang",
+      Map("de" -> 1.0), default = 0.0)
+    assert(strat.filter(col("lang") =!= "de").count() === 0L)
+    assert(strat.count() === df.filter(col("lang") === "de").count())
+    // per-stratum membership matches the flat sample at the same fraction
+    val stratHalf = graft.ops.Sampling.sampleByHashStratified(df, "id", "lang",
+      Map("de" -> 0.2), default = 0.2).select("id").as[Long].collect().toSet
+    assert(stratHalf === s20)
+  }
+
   test("PII redaction: emails/IPs/phones replaced and counted, order semantics pinned") {
     val s2 = spark
     import s2.implicits._
@@ -854,6 +883,29 @@ class OpsSpec extends SparkTestBase {
     val buf = "zz the quick brown zz".getBytes("UTF-8")
     assert(graft.util.XXH64.hash(buf, 3, 15, 42L) ===
       graft.util.XXH64.hash(java.util.Arrays.copyOfRange(buf, 3, 18), 42L))
+  }
+
+  test("plan guard: contamination and excision stay equi-join-shaped — no cartesian, no doc self-blowup") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, s"token$i shared common words appear here $i tail end"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 5 === 0).select(col("text"))
+    val cont = graft.ops.Dedup.contamination(docs, "doc_id", "text", bench, "text", window = 3)
+    cont.collect()
+    val cplan = cont.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the gram join must be hash/broadcast equi on h — a nested-loop
+    // product here would be quadratic in corpus windows
+    assert(!cplan.contains("CartesianProduct") && !cplan.contains("BroadcastNestedLoop"),
+      cplan.take(1500))
+    val locs = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", window = 3)
+    val exc = graft.ops.Dedup.excisePassages(docs, "doc_id", "text", locs, window = 3)
+    exc.collect()
+    val eplan = exc.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one corpus-side equi-join against the per-doc start lists; the
+    // rebuild is a per-row projection, never a product
+    assert(!eplan.contains("CartesianProduct") && !eplan.contains("BroadcastNestedLoop"),
+      eplan.take(1500))
   }
 
   test("plan guard: passage dedup is join-free — one equi-shuffle aggregation") {
