@@ -25,6 +25,8 @@ object Dedup {
     * added exchange.
     */
   def cpuParallel(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on a streaming frame;
+    // micro-batch sizing is the streaming engine's trigger concern
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

@@ -254,6 +254,9 @@ object MediaCodecs {
       }
     }
     if (w <= 0 || h <= 0) return None
+    // a luma plane can't exceed the buffer — rejects absurd header dims
+    // BEFORE w·h arithmetic could overflow Int into a negative allocation
+    if (w.toLong * h > b.length) return None
     val chroma =
       if (cs.startsWith("C420")) 2 * ((w / 2) * (h / 2))
       else if (cs.startsWith("C422")) 2 * ((w / 2) * h)

@@ -177,6 +177,8 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodecs.decodeY4m(good.dropRight(3)) === None)
     assert(MediaCodecs.decodeY4m("YUV4MPEG3 W4 H2\nFRAME\n".getBytes) === None)
     assert(MediaCodecs.decodeY4m("YUV4MPEG2 W4 H2 C310\nFRAME\n".getBytes) === None)
+    // absurd header dims (w*h would overflow Int) -> None, not a crash
+    assert(MediaCodecs.decodeY4m("YUV4MPEG2 W100000 H100000 Cmono\nFRAME\n".getBytes) === None)
     assert(Multimodal.normalize(good.dropRight(3)) === null)
   }
 
