@@ -1011,7 +1011,7 @@ object SparkEntry {
         |         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped,
         |         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY doc_id) AS clean,
         |         bool_or(contains(lower(line), 'lorem ipsum')) AS lorem,
-        |         bool_or(contains(line, '{')) AS brace
+        |         bool_or(contains(line, '{') OR contains(line, '}')) AS brace
         |  FROM scoredl GROUP BY 1
         |)
         |SELECT grp, kept, dropped,
@@ -1150,10 +1150,8 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracleSql(cap = 0),
     "q_dedup_minhash_capped" -> minhashOracleSql(cap = MinhashCap),
     "q_dedup_cosine" -> {
-      val dot = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-      val nrm = (a: String) =>
-        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      val dot = sqlDot _
+      val nrm = sqlNorm _
       def bucket(v: String) = (0 until 8)
         .map(i => s"(CASE WHEN ${dot(v, s"hp.h$i")} > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
       val hpDefs = (0 until 8)
@@ -1180,10 +1178,8 @@ object SparkEntry {
     "q_dedup_semantic" -> semanticOracleSql(cap = 0),
     "q_dedup_semantic_capped" -> semanticOracleSql(cap = SemanticCap),
     "q_dedup_cosine_banded" -> {
-      val dot = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-      val nrm = (a: String) =>
-        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      val dot = sqlDot _
+      val nrm = sqlNorm _
       // band t = planes (10t..10t+9), local sign bit 1<<j (Dedup.cosineNearDup
       // tables=3 over 30 planes; Ann.signBucket bit order)
       def bandBucket(v: String, t: Int) = (0 until 10)
@@ -1294,10 +1290,8 @@ object SparkEntry {
          |ORDER BY value DESC, event_id ASC LIMIT 10""".stripMargin
     },
     "q_ann_topk" -> {
-      val dot = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-      val nrm = (a: String) =>
-        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      val dot = sqlDot _
+      val nrm = sqlNorm _
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (
          |  SELECT e.vec_id,
@@ -1308,10 +1302,8 @@ object SparkEntry {
          |FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
     },
     "q_ann_lsh" -> {
-      val dot = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-      val nrm = (a: String) =>
-        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      val dot = sqlDot _
+      val nrm = sqlNorm _
       def bucket(v: String) = (0 until 3)
         .map(i => s"(CASE WHEN ${dot(v, s"hp.h$i")} > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
       s"""WITH hp AS (
@@ -1333,11 +1325,8 @@ object SparkEntry {
       // the Spark kernel's first-min), ADC = Σ_sub dot(q_sub, chosen
       // centroid_sub) summed in subspace order (list ORDER BY sub — double
       // addition is order-sensitive and the Spark kernel folds s ascending)
-      val sq = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), " +
-          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-      val dot = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val sq = sqlSqDist _
+      val dot = sqlDot _
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings WHERE vec_id IN (1,2,3,4)),
          |subs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(sub)),
@@ -1364,11 +1353,8 @@ object SparkEntry {
       // 5..8 = cells 1..4, first-max argmax like topDotCells), the query
       // probes its top-2 cells (dot desc, cell asc = Ann.routeCells), and
       // the ADC scan sees ONLY vectors assigned to a probed cell
-      val sq = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), " +
-          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-      val dot = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      val sq = sqlSqDist _
+      val dot = sqlDot _
       val ctDefs = (1 to 4)
         .map(c => s"(SELECT embedding FROM embeddings WHERE vec_id = ${c + 4}) AS c$c")
         .mkString(", ")
@@ -1413,15 +1399,24 @@ object SparkEntry {
   /** Token regex for the oracle (single-quote doubled for SQL literals). */
   private val tokRegexSql = "[a-z0-9_]+(?:[''.][a-z0-9_]+)*"
 
+  // Shared DuckDB vector-math builders — every oracle that pins a float
+  // fold uses THE SAME generated SQL, so a fix to the fold/tie semantics
+  // cannot silently apply to one oracle row and not another.
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def sqlSqDist(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
   /** DuckDB mirror of [[graft.ops.Dedup.semanticDedup]] (Seq overload) —
     * ONE template for the capped and uncapped contract queries (`cap = 0`
     * ⇒ no hot-cell anti-join), same pattern as [[minhashOracleSql]].
     */
   private def semanticOracleSql(cap: Int): String = {
-    val dot = (a: String, b: String) =>
-      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    val nrm = (a: String) =>
-      s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val dot = sqlDot _
+    val nrm = sqlNorm _
     val ctDefs = (0 until 32)
       .map(i => s"(SELECT embedding FROM embeddings WHERE vec_id = ${i + 31}) AS c$i")
       .mkString(",\n         ")

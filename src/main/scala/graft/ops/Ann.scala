@@ -173,10 +173,7 @@ object Ann {
     // guards null); an all-null/empty input has no seedable centroid at all
     val vecsAll = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
-    val vecs =
-      if (sampleFraction >= 1.0) vecsAll
-      else vecsAll.filter(
-        pmod(xxhash64(col("id")), lit(1000000L)) < lit((sampleFraction * 1000000L).toLong))
+    val vecs = sampleById(vecsAll, sampleFraction)
     var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map(normalized)
@@ -261,10 +258,7 @@ object Ann {
     import spark.implicits._
     val vecsAll = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
-    val vecs =
-      if (sampleFraction >= 1.0) vecsAll
-      else vecsAll.filter(
-        pmod(xxhash64(col("id")), lit(1000000L)) < lit((sampleFraction * 1000000L).toLong))
+    val vecs = sampleById(vecsAll, sampleFraction)
     val seeds = vecs.orderBy("id").limit(ksub)
       .select("v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(seeds.nonEmpty,
@@ -425,10 +419,7 @@ object Ann {
     val cbs = pqCodebooks(df, idCol, vecCol, m, ksub, iters, sampleFraction)
     df.select(col(idCol), encodePq(col(vecCol), cbs).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
-    cbs.zipWithIndex.flatMap { case (cb, s) =>
-      cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeCodebooks(spark, cbs, dir)
   }
 
   /** ADC top-k against a [[buildPqIndex]] layout. */
@@ -480,11 +471,7 @@ object Ann {
       .sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$dir/codes")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    import spark.implicits._
-    cbs.zipWithIndex.flatMap { case (cb, s) =>
-      cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeCodebooks(spark, cbs, dir)
   }
 
   /** ADC top-k against a [[buildIvfPq]] layout: rank cells by query·centroid
@@ -503,6 +490,29 @@ object Ann {
     val cbs = readCodebooks(spark, dir)
     topkPqAdc(spark.read.parquet(s"$dir/codes").filter(col("cell").isin(probes.toSeq: _*)),
       idCol, "codes", query, cbs, k)
+  }
+
+  /** Deterministic id-hash sample used by BOTH quantizer fits (coarse
+    * k-means and PQ) — one definition so the sampling modulus can never
+    * desynchronize between them: keep rows where xxh64(id) mod 10⁶ falls
+    * under the fraction (no RNG — bit-stable across runs/partitionings).
+    */
+  private def sampleById(vecs: DataFrame, sampleFraction: Double): DataFrame =
+    if (sampleFraction >= 1.0) vecs
+    else vecs.filter(
+      pmod(xxhash64(col("id")), lit(1000000L)) < lit((sampleFraction * 1000000L).toLong))
+
+  /** The (sub, code, centroid) codebooks table written by BOTH PQ layouts
+    * ([[buildPqIndex]] and [[buildIvfPq]]) — one definition so the layout
+    * [[readCodebooks]] expects can never fork.
+    */
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+      cbs: Array[Array[Array[Double]]], dir: String): Unit = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
   /** IVF query routing: the top-`nprobe` cells by (query·centroid desc,

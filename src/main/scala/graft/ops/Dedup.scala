@@ -431,10 +431,13 @@ object Dedup {
     */
   private val capSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // WEAK keys: a stopped session must stay GC-able — a strong JVM-lifetime
+  // set would pin every session (and its SessionState/caches) this op ever
+  // touched in a long-lived multi-session JVM. The listener itself holds no
+  // reference back to the session, so collection is unimpeded.
   private val capListenerSessions =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-        java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
   /** Print the hot-cell / hot-bucket guards' observed drop metrics LOUDLY
     * at execution time (once-per-session QueryExecutionListener over the
@@ -443,7 +446,7 @@ object Dedup {
     * against changed inputs re-evaluate it and re-report (advisor r6).
     */
   private def registerCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (capListenerSessions.add(spark)) {
+    if (capListenerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
@@ -701,7 +704,10 @@ object Dedup {
     val w = window
     val locs = locations.groupBy(col("doc_id"))
       .agg(collect_list(col("start").cast("int")).as("__starts"))
-    val rebuild = udf((t: String, starts: Seq[Int]) => {
+    val rebuild = udf((t0: String, starts: Seq[Int]) => {
+      // null text tolerated like every sibling kernel (passageHashes maps
+      // null to no windows, so such docs arrive here with no locations)
+      val t = if (t0 == null) "" else t0
       val toks = t.toLowerCase(java.util.Locale.ROOT)
         .split("[^a-z0-9]+").filter(_.nonEmpty)
       if (starts == null || starts.isEmpty) (toks.mkString(" "), 0)

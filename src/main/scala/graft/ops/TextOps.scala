@@ -126,7 +126,8 @@ object TextOps {
     * terminal punctuation (one of `.` `!` `?` `"`) and carries at least
     * `minWordsPerLine` whitespace-separated words; a page SURVIVES when it
     * keeps at least `minLines` lines and contains neither the phrase
-    * "lorem ipsum" (case-insensitive) nor a curly brace (the paper's
+    * "lorem ipsum" (case-insensitive) nor a curly bracket — either `{` or
+    * `}`, so a truncated code tail still trips it (the paper's
     * boilerplate/code tells). Returns
     * struct(clean, kept, dropped, keep_page) where `clean` is the kept
     * lines re-joined by newline — the downstream training-pipeline input.
@@ -159,7 +160,8 @@ object TextOps {
         }
         val keepPage = kept.length >= ml &&
           !t.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum") &&
-          t.indexOf('{') < 0
+          t.indexOf('{') < 0 && t.indexOf('}') < 0 // "a curly bracket",
+          // either one — a truncated code tail carries only the closer
         (kept.mkString("\n"), kept.length, lines.length - kept.length, keepPage)
       }
     })

@@ -524,6 +524,10 @@ class OpsSpec extends SparkTestBase {
     val brace = Seq((1L, page + "\nfunction f() { return one two three. }")).toDF("id", "t")
     assert(!brace.select(graft.ops.TextOps.c4Lines(col("t"), 5, 3)
       .getField("keep_page")).head().getBoolean(0))
+    // a LONE closing brace (truncated code tail) also poisons the page
+    val closer = Seq((1L, page + "\nend of config: } remainder of prose here.")).toDF("id", "t")
+    assert(!closer.select(graft.ops.TextOps.c4Lines(col("t"), 5, 3)
+      .getField("keep_page")).head().getBoolean(0))
     // minLines gate: same page needs 5 kept lines -> page dropped, lines kept
     val strict = df.select(graft.ops.TextOps.c4Lines(col("t"), 5, 5)
       .getField("keep_page")).head().getBoolean(0)
