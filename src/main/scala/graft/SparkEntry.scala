@@ -1007,8 +1007,8 @@ object SparkEntry {
         |  FROM lines
         |), agg AS (
         |  SELECT grp,
-        |         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
-        |         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS dropped,
+        |         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
         |         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY doc_id) AS clean,
         |         bool_or(contains(lower(line), 'lorem ipsum')) AS lorem,
         |         bool_or(contains(line, '{') OR contains(line, '}')) AS brace

@@ -140,9 +140,11 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   * Σ_s lut(s)(codes(s) & 0xFF), s ascending — `m` reads + adds per row.
   * `lut(s)(c)` is the query's precomputed affinity to subspace s's centroid
   * c (dot for inner-product search, negated squared L2 for metric search —
-  * the expression is agnostic). Codes shorter than the LUT contribute only
-  * their present bytes; a code byte outside its subspace's table (corrupt
-  * input) contributes 0 rather than crashing the scan.
+  * the expression is agnostic). Corrupt input is LOUD, not silently
+  * mis-ranked (advisor r7): a code array whose length differs from the LUT,
+  * or a code byte outside its subspace's table (codebook/index skew — stale
+  * codes against new codebooks), yields NULL instead of a
+  * wrong-but-plausible partial score.
   */
 case class PqAdcDot(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {
@@ -151,16 +153,18 @@ case class PqAdcDot(child: Expression, lut: Array[Array[Double]])
 
   override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_dot"
 
   override def nullSafeEval(a: Any): Any = {
     val codes = a.asInstanceOf[Array[Byte]]
+    if (codes.length != lut.length) return null
     var sum = 0.0
     var s = 0
-    val m = math.min(codes.length, lut.length)
-    while (s < m) {
+    while (s < lut.length) {
       val c = codes(s) & 0xFF
-      if (c < lut(s).length) sum += lut(s)(c)
+      if (c >= lut(s).length) return null
+      sum += lut(s)(c)
       s += 1
     }
     sum
@@ -171,15 +175,16 @@ case class PqAdcDot(child: Expression, lut: Array[Array[Double]])
       val l = ctx.addReferenceObj("lut", lut, "double[][]")
       val sum = ctx.freshName("sum")
       val s = ctx.freshName("s")
-      val m = ctx.freshName("m")
       val c = ctx.freshName("c")
+      val bad = ctx.freshName("bad")
       s"""
          |double $sum = 0.0;
-         |int $m = java.lang.Math.min($a.length, $l.length);
-         |for (int $s = 0; $s < $m; $s++) {
+         |boolean $bad = $a.length != $l.length;
+         |for (int $s = 0; !$bad && $s < $l.length; $s++) {
          |  int $c = $a[$s] & 0xFF;
-         |  if ($c < $l[$s].length) $sum += $l[$s][$c];
+         |  if ($c >= $l[$s].length) $bad = true; else $sum += $l[$s][$c];
          |}
+         |${ev.isNull} = $bad;
          |${ev.value} = $sum;
        """.stripMargin
     })

@@ -28,7 +28,25 @@ object Dedup {
     if (df.isStreaming) return df // .rdd is illegal on a streaming frame;
     // micro-batch sizing is the streaming engine's trigger concern
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Probe the partition count ONLY on narrow, scan-rooted plans: under
+    // AQE, Dataset.rdd on a plan with upstream exchanges materializes every
+    // shuffle/broadcast stage eagerly at BUILD time, and the returned frame
+    // re-executes them at query time (advisor r7 — the same
+    // eager-build-time-action disease the lazy cap guards cured). A narrow
+    // plan (scan/union/generate over file sources) builds its RDD without
+    // running a job, so the probe is free there; anything wider arrives
+    // from an exchange already sized to session parallelism, so skipping
+    // the repartition is also the right sizing answer.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val narrowOnly = df.queryExecution.analyzed.collectFirst {
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
+        !n.isInstanceOf[Union] && !n.isInstanceOf[Generate] &&
+        !n.isInstanceOf[SubqueryAlias] && !n.isInstanceOf[LeafNode] &&
+        !(n.isInstanceOf[Repartition] && !n.asInstanceOf[Repartition].shuffle) => n
+    }.isEmpty
+    if (!narrowOnly) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   /** Exact-duplicate groups by content hash: (hash, cnt, ids). */

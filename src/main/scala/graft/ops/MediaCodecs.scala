@@ -257,11 +257,15 @@ object MediaCodecs {
     // a luma plane can't exceed the buffer — rejects absurd header dims
     // BEFORE w·h arithmetic could overflow Int into a negative allocation
     if (w.toLong * h > b.length) return None
-    val chroma =
-      if (cs.startsWith("C420")) 2 * ((w / 2) * (h / 2))
-      else if (cs.startsWith("C422")) 2 * ((w / 2) * h)
-      else if (cs.startsWith("C444")) 2 * (w * h)
-      else if (cs == "Cmono") 0
+    // chroma in LONG: ySize + chroma can reach ~1.5× b.length, so for blobs
+    // approaching 2 GB the Int sum could wrap negative, slip past the bound
+    // check, and crash arraycopy instead of returning None (advisor r7) —
+    // the per-frame bound below is evaluated in Long for the same reason
+    val chroma: Long =
+      if (cs.startsWith("C420")) 2L * ((w / 2) * (h / 2))
+      else if (cs.startsWith("C422")) 2L * ((w / 2).toLong * h)
+      else if (cs.startsWith("C444")) 2L * (w.toLong * h)
+      else if (cs == "Cmono") 0L
       else return None
     val ySize = w * h
     val frames = Seq.newBuilder[Array[Byte]]
@@ -271,11 +275,11 @@ object MediaCodecs {
       if (at + 5 > b.length || new String(b, at, 5, "US-ASCII") != "FRAME") return None
       var fe = at + 5
       while (fe < b.length && b(fe) != '\n') fe += 1
-      if (fe >= b.length || fe + 1 + ySize + chroma > b.length) return None
+      if (fe >= b.length || fe.toLong + 1 + ySize + chroma > b.length) return None
       val y = new Array[Byte](ySize)
       System.arraycopy(b, fe + 1, y, 0, ySize)
       frames += y
-      at = fe + 1 + ySize + chroma
+      at = (fe.toLong + 1 + ySize + chroma).toInt // ≤ b.length by the guard
     }
     val fs = frames.result()
     if (fs.isEmpty) None else Some((w, h, fs))

@@ -550,6 +550,72 @@ class OpsSpec extends SparkTestBase {
       === Seq.tabulate(100)(i => (i.toLong, s"text $i")).sorted)
   }
 
+  test("cpuParallel: a non-scan-rooted frame is returned untouched with ZERO jobs at build " +
+      "(advisor r7: Dataset.rdd under AQE materializes upstream exchanges eagerly)") {
+    val s2 = spark
+    import s2.implicits._
+    // an aggregate forces an exchange above the scan — exactly the shape
+    // whose .rdd probe used to run the whole upstream pipeline at build time
+    val agg = Seq.tabulate(100)(i => (i.toLong % 7, s"text $i")).toDF("k", "t")
+      .groupBy("k").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = graft.ops.Dedup.cpuParallel(agg)
+      assert(out eq agg) // no-op: exchanges already size to session parallelism
+      // builder APIs must be lazy — give the bus a beat, then assert no jobs
+      Thread.sleep(300)
+      assert(jobs.get() === 0L, "cpuParallel ran jobs at build time on a non-scan input")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // and the frame still computes the same rows
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === Seq.tabulate(100)(i => i.toLong % 7).groupBy(identity)
+        .map { case (k, v) => (k, v.length.toLong) }.toSeq.sorted)
+  }
+
+  test("ann: buildIvf assignment is NATIVE — no ScalaUDF, null vector keeps the -1 sentinel") {
+    val s2 = spark
+    import s2.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // through a parquet scan so ConvertToLocalRelation can't fold the
+    // expression away before the plan is inspected
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfassign").toString
+    Seq(
+      (0L, Seq(0.9f, 0.1f)), (1L, Seq(0.1f, 0.9f)), (2L, null.asInstanceOf[Seq[Float]])
+    ).toDF("id", "vec").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val assigned = graft.ops.Ann.ivfAssign(df, "vec", cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(1200))
+    assert(plan.contains("float_top_dot_cells"), plan.take(1200))
+    val got = assigned.select("id", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> -1))
+  }
+
+  test("pq: ADC is LOUD on corrupt codes — null for length/codebook skew, not a partial score") {
+    val s2 = spark
+    import s2.implicits._
+    // 2 subspaces, 2 centroids each
+    val lut = Array(Array(1.0, 2.0), Array(10.0, 20.0))
+    val df = Seq(
+      (0L, Array[Byte](0, 1)),       // valid: 1.0 + 20.0
+      (1L, Array[Byte](1)),          // truncated codes (index skew)
+      (2L, Array[Byte](0, 1, 0)),    // over-long codes
+      (3L, Array[Byte](0, 5))        // code byte outside its subspace table
+    ).toDF("id", "codes")
+    val got = df.select(col("id"),
+        graft.functions.PqExpressions.adcDot(col("codes"), lut).as("adc"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(0L -> Some(21.0), 1L -> None, 2L -> None, 3L -> None))
+  }
+
   test("decontamination: window overlap vs a benchmark set — exact counts, drop form, xx/md5 parity") {
     val s2 = spark
     import s2.implicits._
