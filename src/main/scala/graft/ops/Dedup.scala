@@ -146,8 +146,14 @@ object Dedup {
           .filter(col("__bsz") <= maxBucketSize)
           .select("id", "band", "key")
       }
+    // ONE-SIDED pruning (r8): a candidate pair shares its (band, key)
+    // bucket BY CONSTRUCTION, so filtering over-cap buckets from one join
+    // side removes exactly the same pairs as filtering both — an over-cap
+    // bucket has no a-side rows left, an under-cap bucket keeps all members
+    // on both sides. The b side therefore skips the window+sort+metrics
+    // pass entirely (the r7 plan computed it twice, once per side).
     val a = pruned.as("a")
-    val b = pruned.as("b")
+    val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -416,8 +422,11 @@ object Dedup {
           .filter(col("__csz") <= maxCellSize)
           .select("id", "cell")
       }
+    // ONE-SIDED pruning (r8, same argument as [[lshCandidates]]): a pair
+    // shares its cell, so capping one join side removes exactly the pairs
+    // both-sided capping removed — the b side skips the window+metrics pass.
     val a = cells.as("a")
-    val b = cells.as("b")
+    val b = cellsIn.select(col("id"), col("cell")).as("b")
     val cand0 = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // multi-probe assignment (nprobe > 1) can emit a pair once per shared
@@ -701,7 +710,13 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select("h")
-    wins.join(dups, "h").select("doc_id", "start", "h")
+    // PIN the build side (r8): dups — distinct duplicated hashes only — is
+    // the provably small side of this join (boilerplate hashes ≪ window
+    // occurrences). Left to AQE, the checkpointed wins table's small local
+    // stats made it broadcast the CORPUS-side window table instead (fine at
+    // sf0.1, catastrophic at scale); the hint keeps the shape right at any
+    // size AQE would accept, and degrades to a shuffle equi-join beyond it.
+    wins.join(broadcast(dups), "h").select("doc_id", "start", "h")
   }
 
   /** Apply the excision (Lee et al. §3 — the step [[passageDupLocations]]
@@ -795,10 +810,15 @@ object Dedup {
     val benchGrams = cpuParallel(bench)
       .select(explode(hasher(col(benchText), window)).as("h"))
       .distinct()
+    // PIN the broadcast this op's scale story is built on (the scaladoc
+    // above): the eval side's distinct grams are metadata-scale next to the
+    // corpus, so the corpus scan must never shuffle for this join. AQE
+    // already picked broadcast here from estimates; the hint makes the
+    // shape deliberate rather than estimate-dependent (guide §3.1).
     cpuParallel(corpus)
       .select(col(corpusId).as("doc_id"),
         explode(hasher(col(corpusText), window)).as("h"))
-      .join(benchGrams, "h")
+      .join(broadcast(benchGrams), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("matched_windows"),
         countDistinct(col("h")).as("matched_grams"))
