@@ -706,9 +706,14 @@ object Dedup {
         posexplode(hasher(col(textCol), window)).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
       .localCheckpoint(true) // ONE tokenize+hash pass feeds both stages below
+    // the locate stage only needs the dup FLAG, not the exact distinct
+    // count [[passageDups]] reports: h spans ≥ 2 distinct docs iff
+    // min(doc_id) ≠ max(doc_id) — ONE plain aggregate (partial min/max
+    // map-side, one exchange) instead of countDistinct's two-exchange
+    // (h, doc_id) dedup + recount (r8; identical h-set by construction)
     val dups = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
       .select("h")
     // PIN the build side (r8): dups — distinct duplicated hashes only — is
     // the provably small side of this join (boilerplate hashes ≪ window

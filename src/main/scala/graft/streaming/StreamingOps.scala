@@ -60,9 +60,13 @@ object StreamingOps {
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), (String, Long, Long)](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
-          val batch = rows.toSeq
+          // fold the iterator — never buffer the group (a hot key's batch
+          // is unbounded; .toSeq held it all to count and sum, r8)
+          var docs = 0L
+          var toks = 0L
+          rows.foreach { r => docs += 1; toks += r._2 }
           val (docs0, toks0) = state.getOption.getOrElse((0L, 0L))
-          val next = (docs0 + batch.size, toks0 + batch.map(_._2).sum)
+          val next = (docs0 + docs, toks0 + toks)
           state.update(next)
           (key, next._1, next._2)
       }
