@@ -124,20 +124,21 @@ object Dedup {
     val pruned =
       if (maxBucketSize <= 0) banded
       else {
-        // LAZY hot-bucket guard — the same shape as [[semanticPairs]]'
-        // cell cap (advisor r6 cured the eager-.collect()-at-build-time
-        // disease there; this was its last instance): a window count over
-        // the (band, key) partitioning sizes every bucket in the SAME
-        // hash partitioning the bucket self-join needs anyway (the join
-        // reuses the exchange), the over-cap filter is a per-row
-        // predicate — a no-op when no bucket is hot — and the drop count
+        // LAZY hot-bucket guard (advisor r6 killed the eager-.collect()
+        // form; r8 reshaped the sizing): bucket sizes come from a plain
+        // groupBy count — a NARROW (band, key, cnt) aggregate with map-side
+        // combining — joined back onto the banded rows, instead of a window
+        // count (which forced a full-row exchange + sort even when the
+        // candidate join itself goes broadcast). AQE broadcasts the size
+        // table when it is small (the common case: one row per bucket);
+        // on a corpus whose bucket table is itself huge it degrades to the
+        // same (band, key) equi-shuffle the window needed — never worse.
+        // The over-cap filter stays a per-row predicate and the drop count
         // is OBSERVED at execution time (CollectMetrics + the shared
-        // once-per-session listener), never a build-time driver action
-        // that freezes the apply/skip decision into the plan and
-        // recomputes the banded pass for an audit aggregate.
+        // once-per-session listener), never a build-time driver action.
         registerCapListener(df.sparkSession)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-        banded.withColumn("__bsz", count(lit(1)).over(w))
+        val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("__bsz"))
+        banded.join(sizes, Seq("band", "key"))
           .observe(s"graft.lsh.bucketcap.${capSeq.incrementAndGet()}",
             sum(when(col("__bsz") > maxBucketSize, 1L).otherwise(0L))
               .as("memberships_dropped"),
@@ -394,14 +395,17 @@ object Dedup {
       else {
         // LAZY hot-cell guard (advisor r6 — the prior form ran an eager
         // .collect() at BUILD time, freezing the apply/skip decision into
-        // the plan and triggering jobs from a builder API): a window count
-        // over the cell partitioning sizes every cell in the SAME shuffle
-        // the within-cell self-join needs anyway (Window preserves its
-        // child's hash partitioning, so the join adds no exchange), the
-        // over-cap filter is a per-row predicate — a no-op when no cell is
-        // hot — and the drop count is OBSERVED at execution time
-        // (CollectMetrics + a once-per-session QueryExecutionListener that
-        // prints any non-zero drop), never a build-time driver action.
+        // the plan and triggering jobs from a builder API; r8 reshaped the
+        // sizing like [[lshCandidates]]): cell sizes come from a plain
+        // groupBy count — a NARROW (cell, cnt) aggregate with map-side
+        // combining — joined back onto the rows, instead of a window count
+        // (full-row exchange + sort even when the candidate join itself
+        // goes broadcast). AQE broadcasts the size table when small; on a
+        // corpus whose cell table is huge it degrades to the same cell
+        // equi-shuffle the window needed. The over-cap filter stays a
+        // per-row predicate and the drop count is OBSERVED at execution
+        // time (CollectMetrics + a once-per-session
+        // QueryExecutionListener), never a build-time driver action.
         //
         // Cap semantics (advisor r6, documented deliberately): the count is
         // per-cell CANDIDATE-GENERATION OCCUPANCY — with nprobe > 1 a
@@ -410,10 +414,10 @@ object Dedup {
         // rows), so the guard bounds exactly the blowup it exists to
         // prevent; it is NOT the true (rank-1) cell size once nprobe > 1.
         registerCapListener(cellsIn.sparkSession)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+        val sizes = cellsIn.groupBy("cell").agg(count(lit(1)).as("__csz"))
         // unique observation name per invocation: two capped dedups in ONE
         // plan (a union of pipelines) would otherwise collide on the name
-        cellsIn.withColumn("__csz", count(lit(1)).over(w))
+        cellsIn.join(sizes, Seq("cell"))
           .observe(s"graft.semantic.cellcap.${capSeq.incrementAndGet()}",
             sum(when(col("__csz") > maxCellSize, 1L).otherwise(0L))
               .as("memberships_dropped"),
