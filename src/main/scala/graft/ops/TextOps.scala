@@ -107,17 +107,52 @@ object TextOps {
     * Returns struct(clean, n_emails, n_ips, n_phones).
     */
   def redactPii(text: Column): Column = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
-    val afterEmail = regexp_replace(text, lit(emailRe), lit("<EMAIL>"))
-    val afterIp = regexp_replace(afterEmail, lit(ipRe), lit("<IP>"))
-    val clean = regexp_replace(afterIp, lit(phoneRe), lit("<PHONE>"))
+    // ONE matcher walk per category does the count AND the replacement
+    // (guide §1.2 per-task work): the native regexp_replace +
+    // regexp_extract_all pair traversed the text twice per category — six
+    // compiled-regex passes per row where three suffice. java.util.regex is
+    // exactly the engine Spark's own RegExpReplace/RegExpExtractAll run
+    // (same patterns, no flags, non-overlapping find() semantics), and the
+    // replacements contain no $/\ escapes, so output is bit-identical —
+    // the oracle row and the golds pin it. Count-on-previous-redaction
+    // order unchanged: emails counted on the raw text, IPs on the
+    // email-redacted text, phones on the IP-redacted text.
+    val emailP = java.util.regex.Pattern.compile(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val ipP = java.util.regex.Pattern.compile(
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    val phoneP = java.util.regex.Pattern.compile("\\+\\d[\\d\\- ]{7,}\\d")
+    val f = udf((t: String) => {
+      if (t == null) null
+      else {
+        def pass(s: String, p: java.util.regex.Pattern, repl: String): (String, Int) = {
+          val m = p.matcher(s)
+          if (!m.find()) (s, 0) // common case: no PII, no allocation
+          else {
+            val sb = new java.lang.StringBuilder(s.length)
+            var n = 0
+            var last = 0
+            do {
+              n += 1
+              sb.append(s, last, m.start).append(repl)
+              last = m.end
+            } while (m.find())
+            sb.append(s, last, s.length)
+            (sb.toString, n)
+          }
+        }
+        val (afterEmail, nEmails) = pass(t, emailP, "<EMAIL>")
+        val (afterIp, nIps) = pass(afterEmail, ipP, "<IP>")
+        val (clean, nPhones) = pass(afterIp, phoneP, "<PHONE>")
+        (clean, nEmails, nIps, nPhones)
+      }
+    })
+    val a = f(text)
     struct(
-      clean.as("clean"),
-      size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(afterEmail, lit(ipRe), lit(0))).as("n_ips"),
-      size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))).as("n_phones"))
+      a.getField("_1").as("clean"),
+      a.getField("_2").as("n_emails"),
+      a.getField("_3").as("n_ips"),
+      a.getField("_4").as("n_phones"))
   }
 
   /** C4 line/page cleaning (Raffel et al., "Exploring the Limits of
