@@ -662,6 +662,60 @@ object Dedup {
     f(text)
   }
 
+  /** Binary twin of [[passageHashes]] — the pipelines' INTERNAL shuffle and
+    * aggregate representation (guide §2.3, narrower types): the md5 digest
+    * ships as its 16 raw bytes instead of the 32-char hex string, halving
+    * the key bytes in every window exchange (the passage aggregates and the
+    * locate join are keyed on `h`, and the hash column dominates their row
+    * width) and skipping the per-window hex encode entirely. Pipelines
+    * hex-encode (lowercase — md5()'s form in both engines) only at contract
+    * output positions, so emitted values are bit-identical to
+    * [[passageHashes]]'s. Private: the public kernels stay the
+    * string-valued, oracle-mirrorable pair.
+    */
+  private def passageHashesBin(text: Column, window: Int): Column = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    val w = window
+    val f = udf((t: String) => {
+      if (t == null) Seq.empty[Array[Byte]]
+      else {
+        val (bytes, starts, ntoks) = windowBuffer(t)
+        if (ntoks < w) Seq.empty[Array[Byte]]
+        else {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          val out = new Array[Array[Byte]](ntoks - w + 1)
+          var i = 0
+          while (i < out.length) {
+            val from = starts(i)
+            val until = if (i + w < ntoks) starts(i + w) - 1 else bytes.length
+            digest.reset()
+            digest.update(bytes, from, until - from)
+            out(i) = digest.digest()
+            i += 1
+          }
+          out.toSeq
+        }
+      }
+    })
+    f(text)
+  }
+
+  /** The default window hasher as ONE stable function object, so the
+    * pipelines can recognize "caller kept the md5 default" (`eq`) and run
+    * the binary fast path; an eta-expansion per call site would defeat the
+    * identity check.
+    */
+  private val defaultHasher: (Column, Int) => Column = passageHashes
+
+  /** Resolve a pipeline's window-hash column: the default md5 hasher runs
+    * binary internally with a hex transform for output positions; an
+    * explicit hasher (e.g. [[passageHashesXx]]) passes through unchanged.
+    */
+  private def windowHashCol(hasher: (Column, Int) => Column, text: Column,
+      window: Int): (Column, Column => Column) =
+    if (hasher eq defaultHasher) (passageHashesBin(text, window), c => lower(hex(c)))
+    else (hasher(text, window), identity)
+
   /** Tokenize + join + per-token byte offsets shared by the passage hashers:
     * (UTF-8 bytes of the space-joined tokens, byte offset of each token,
     * token count). Tokens are lowercased maximal [a-z0-9] runs — pure ASCII,
@@ -688,12 +742,17 @@ object Dedup {
     * locate/excise the passages per doc.
     */
   def passageDups(df: DataFrame, idCol: String, textCol: String, window: Int = 8,
-      hasher: (Column, Int) => Column = passageHashes): DataFrame =
+      hasher: (Column, Int) => Column = defaultHasher): DataFrame = {
+    // default hasher: the aggregate shuffles 16-byte binary keys, hex only
+    // on the surviving (ndocs >= 2) rows — see [[passageHashesBin]]
+    val (hs, toOut) = windowHashCol(hasher, col(textCol), window)
     cpuParallel(df)
-      .select(col(idCol).as("doc_id"), explode(hasher(col(textCol), window)).as("h"))
+      .select(col(idCol).as("doc_id"), explode(hs).as("h"))
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("ndocs"), count(lit(1)).as("occurrences"))
       .filter(col("ndocs") >= 2)
+      .select(toOut(col("h")).as("h"), col("ndocs"), col("occurrences"))
+  }
 
   /** Locate duplicated passages per doc — the EXCISION input (Lee et al.
     * §3's stated point: removing the repeated span needs its position, not
@@ -720,10 +779,14 @@ object Dedup {
     * to parquet themselves and feed both [[passageDups]] and this.
     */
   def passageDupLocations(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 8, hasher: (Column, Int) => Column = passageHashes): DataFrame = {
+      window: Int = 8, hasher: (Column, Int) => Column = defaultHasher): DataFrame = {
+    // default hasher: the checkpointed window table, the dup-flag aggregate,
+    // and the locate join all carry 16-byte binary keys; hex encoding runs
+    // once on the output rows — see [[passageHashesBin]]
+    val (hs, toOut) = windowHashCol(hasher, col(textCol), window)
     val wins = cpuParallel(df)
       .select(col(idCol).as("doc_id"),
-        posexplode(hasher(col(textCol), window)).as(Seq("pos", "h")))
+        posexplode(hs).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
       .localCheckpoint(true) // ONE tokenize+hash pass feeds both stages below
     // the locate stage only needs the dup FLAG, not the exact distinct
@@ -741,7 +804,8 @@ object Dedup {
     // stats made it broadcast the CORPUS-side window table instead (fine at
     // sf0.1, catastrophic at scale); the hint keeps the shape right at any
     // size AQE would accept, and degrades to a shuffle equi-join beyond it.
-    wins.join(broadcast(dups), "h").select("doc_id", "start", "h")
+    wins.join(broadcast(dups), "h")
+      .select(col("doc_id"), col("start"), toOut(col("h")).as("h"))
   }
 
   /** Apply the excision (Lee et al. §3 — the step [[passageDupLocations]]
@@ -831,9 +895,14 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchText: String, window: Int = 8,
-      hasher: (Column, Int) => Column = passageHashes): DataFrame = {
+      hasher: (Column, Int) => Column = defaultHasher): DataFrame = {
+    // default hasher: `h` never leaves this op (the output is counts), so
+    // the bench distinct, the broadcast, and the per-doc aggregate all run
+    // on 16-byte binary keys with no hex encode at all ([[passageHashesBin]])
+    val (benchHs, _) = windowHashCol(hasher, col(benchText), window)
+    val (corpusHs, _) = windowHashCol(hasher, col(corpusText), window)
     val benchGrams = cpuParallel(bench)
-      .select(explode(hasher(col(benchText), window)).as("h"))
+      .select(explode(benchHs).as("h"))
       .distinct()
     // PIN the broadcast this op's scale story is built on (the scaladoc
     // above): the eval side's distinct grams are metadata-scale next to the
@@ -842,7 +911,7 @@ object Dedup {
     // shape deliberate rather than estimate-dependent (guide §3.1).
     cpuParallel(corpus)
       .select(col(corpusId).as("doc_id"),
-        explode(hasher(col(corpusText), window)).as("h"))
+        explode(corpusHs).as("h"))
       .join(broadcast(benchGrams), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("matched_windows"),
@@ -857,7 +926,7 @@ object Dedup {
   def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchText: String, window: Int = 8,
       minMatches: Long = 1L,
-      hasher: (Column, Int) => Column = passageHashes): DataFrame = {
+      hasher: (Column, Int) => Column = defaultHasher): DataFrame = {
     val bad = contamination(corpus, corpusId, corpusText, bench, benchText,
         window, hasher)
       .filter(col("matched_windows") >= minMatches)

@@ -364,6 +364,21 @@ class OpsSpec extends SparkTestBase {
     assert(got.map(_._1).toSet === expected)
     // window longer than every doc ⇒ empty result, not an error
     assert(graft.ops.Dedup.passageDups(docs, "doc_id", "text", window = 50).count() === 0L)
+
+    // r8 internals guard: the DEFAULT hasher runs the binary md5 fast path
+    // (16-byte keys through the shuffles, hex only at output) — its rows
+    // must be bit-identical to an EXPLICITLY passed string-hasher run,
+    // which takes the generic path, for both passage entry points
+    val viaString = graft.ops.Dedup.passageDups(docs, "doc_id", "text", 8,
+        hasher = graft.ops.Dedup.passageHashes)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet === viaString)
+    val locDefault = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val locString = graft.ops.Dedup.passageDupLocations(docs, "doc_id", "text", 8,
+        hasher = graft.ops.Dedup.passageHashes)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(locDefault === locString)
   }
 
   test("hash sampling: deterministic, partitioning-invariant, nesting subsets, stratified") {
