@@ -148,15 +148,24 @@ object Dedup {
         // is OBSERVED at execution time (CollectMetrics + the shared
         // once-per-session listener), never a build-time driver action.
         registerCapListener(df.sparkSession)
+        // r8.1 reshape: the drop metrics ride the aggregated size table
+        // (identical values — Σ of over-cap bucket counts == the count of
+        // rows inside over-cap buckets), and the prune is a LEFT-ANTI join
+        // against only the over-cap keys. The r8.0 inner-join shipped EVERY
+        // bucket's size back onto every banded row to test one predicate;
+        // the over-cap key set is bounded by buckets/cap — usually empty,
+        // tiny under mass boilerplate — so the join side shrinks from
+        // all-buckets to offenders-only (broadcast-able far longer, and AQE
+        // degrades it to a shuffle anti-join, never a product). Measured
+        // local: within noise; the win is the at-scale join payload.
         val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("__bsz"))
-        banded.join(sizes, Seq("band", "key"))
           .observe(s"graft.lsh.bucketcap.${capSeq.incrementAndGet()}",
-            sum(when(col("__bsz") > maxBucketSize, 1L).otherwise(0L))
+            sum(when(col("__bsz") > maxBucketSize, col("__bsz")).otherwise(0L))
               .as("memberships_dropped"),
             coalesce(max(col("__bsz")), lit(0L)).as("max_cell_occupancy"),
             max(lit(maxBucketSize.toLong)).as("cap"))
-          .filter(col("__bsz") <= maxBucketSize)
-          .select("id", "band", "key")
+        val overCap = sizes.filter(col("__bsz") > maxBucketSize).select("band", "key")
+        banded.join(overCap, Seq("band", "key"), "left_anti")
       }
     // ONE-SIDED pruning (r8): a candidate pair shares its (band, key)
     // bucket BY CONSTRUCTION, so filtering over-cap buckets from one join
@@ -430,16 +439,20 @@ object Dedup {
         // rows), so the guard bounds exactly the blowup it exists to
         // prevent; it is NOT the true (rank-1) cell size once nprobe > 1.
         registerCapListener(cellsIn.sparkSession)
-        val sizes = cellsIn.groupBy("cell").agg(count(lit(1)).as("__csz"))
+        // r8.1 reshape (the [[lshCandidates]] argument): metrics on the
+        // aggregated size table (identical values), prune via LEFT-ANTI
+        // against only the over-cap cell ids — offenders-only join payload
+        // instead of every cell's size on every row.
         // unique observation name per invocation: two capped dedups in ONE
         // plan (a union of pipelines) would otherwise collide on the name
-        cellsIn.join(sizes, Seq("cell"))
+        val sizes = cellsIn.groupBy("cell").agg(count(lit(1)).as("__csz"))
           .observe(s"graft.semantic.cellcap.${capSeq.incrementAndGet()}",
-            sum(when(col("__csz") > maxCellSize, 1L).otherwise(0L))
+            sum(when(col("__csz") > maxCellSize, col("__csz")).otherwise(0L))
               .as("memberships_dropped"),
             coalesce(max(col("__csz")), lit(0L)).as("max_cell_occupancy"),
             max(lit(maxCellSize.toLong)).as("cap"))
-          .filter(col("__csz") <= maxCellSize)
+        val overCap = sizes.filter(col("__csz") > maxCellSize).select("cell")
+        cellsIn.join(overCap, Seq("cell"), "left_anti")
           .select("id", "cell")
       }
     // ONE-SIDED pruning (r8, same argument as [[lshCandidates]]): a pair
